@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: language-ID over the sf0.001 documents table
+(batched Arrow UDF over the from-scratch NumPy fastText predictor) plus the
+per-language distribution.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2; DuckDB-checked at sf0.01 where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from fast_langdetect_spark.operators.langid import with_language
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    scored = with_language(docs, "text")
+    return (
+        scored.groupBy("lang_top")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("lang_score").alias("avg_score"),
+        )
+        .orderBy(F.desc("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------- queries
+
+
+def _q_langid_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID UDF (not SQL-expressible → rows-only check)."""
+    from fast_langdetect_spark.operators.langid import with_language
+
+    return with_language(_docs(spark, sf_dir), "text").select(
+        "doc_id", "lang_top", "lang_score"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "langid_top1": _q_langid_top1,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
     return {}

@@ -1,0 +1,26 @@
+"""fast_langdetect_spark — PySpark-native language-ID + quality-filter engine.
+
+A from-scratch rebuild of the capabilities of LlmKira/fast-langdetect
+(reference read-only at /root/reference) as a Spark-first pipeline:
+
+  * ``fasttext_np``  — pure-NumPy fastText .ftz reader + batched predictor
+  * ``core``         — reference-parity local API (detect/detect_language)
+  * ``operators``    — Spark operators: langid UDFs, quality rules, PII scrub,
+                       perplexity, dedup, similarity, text stats
+  * ``sources``      — corpus I/O shim (Iceberg-style table / parquet) +
+                       deterministic synthetic corpus generator
+  * ``plans``        — end-to-end keep/drop pipeline, partitioning/skew,
+                       lineage + resumable checkpointing
+"""
+
+from .core.api import (  # noqa: F401
+    FastLangdetectError,
+    LangDetectConfig,
+    LangDetector,
+    ModelLoadError,
+    detect,
+    detect_language,
+)
+from .core.preprocess import is_japanese  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,229 @@
+"""Reference-parity local API: detect / detect_language / LangDetector.
+
+Mirrors the public surface of fast-langdetect (reference
+/root/reference/src/fast_langdetect/infer.py:306-367, __init__.py:20-32) on
+top of the from-scratch NumPy predictor.  Differences from the reference are
+offline-only and explicit:
+
+  * the full lid.176.bin is never downloaded (no network in executors by
+    design); ``model='full'`` resolves via $FLD_SPARK_FULL_MODEL_PATH or
+    ``cache_dir/lid.176.bin``, else raises ``FastLangdetectError`` exactly
+    where the reference would raise on download failure.
+  * ``model='auto'`` falls back to lite on MemoryError *or* on the
+    offline-missing-full condition (reference falls back only on MemoryError,
+    infer.py:299-304, but in our deployment the bin genuinely cannot be
+    fetched; the fallback is logged).  Error-path parity is preserved for the
+    cases the reference tests assert: a nonexistent user ``cache_dir`` raises
+    FileNotFoundError with no fallback (infer.py:62-75, test_real_detection
+    .py:82-99), and an invalid ``model`` name raises FastLangdetectError.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import tempfile
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Union
+
+try:  # Literal is 3.8+; keep import local-safe
+    from typing import Literal
+except ImportError:  # pragma: no cover
+    Literal = None  # type: ignore
+
+from ..fasttext_np.model import FastTextModel
+from ..resources import (
+    FULL_MODEL_FILENAME,
+    resolve_full_model_path,
+    resolve_lite_model_path,
+)
+from .preprocess import (
+    DEFAULT_MAX_INPUT_LENGTH,
+    is_japanese,
+    normalize_text,
+    preprocess_text,
+)
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CACHE_DIR = Path(tempfile.gettempdir()) / "fasttext-langdetect"
+CACHE_DIRECTORY = os.getenv("FTLANG_CACHE", str(DEFAULT_CACHE_DIR))
+
+
+class FastLangdetectError(Exception):
+    """Base exception for library-specific failures (parity: infer.py:30)."""
+
+
+class ModelLoadError(FastLangdetectError):
+    """Raised when a model fails to load (parity: infer.py:35)."""
+
+
+class LangDetectConfig:
+    """Parity port of the reference config (infer.py:181-210)."""
+
+    def __init__(
+        self,
+        cache_dir: Optional[str] = None,
+        custom_model_path: Optional[str] = None,
+        proxy: Optional[str] = None,
+        normalize_input: bool = True,
+        max_input_length: Optional[int] = DEFAULT_MAX_INPUT_LENGTH,
+        model: str = "auto",
+    ):
+        self.cache_dir = cache_dir or CACHE_DIRECTORY
+        self.custom_model_path = custom_model_path
+        self.proxy = proxy
+        self.normalize_input = normalize_input
+        self.max_input_length = max_input_length
+        self.model = model
+        if self.custom_model_path and not Path(self.custom_model_path).exists():
+            raise FileNotFoundError(
+                f"fast-langdetect-spark: Target model file not found: "
+                f"{self.custom_model_path}"
+            )
+
+
+# process-wide model cache: path → FastTextModel (the Spark-worker analogue of
+# the reference's per-detector dict, infer.py:223/279-297)
+_MODEL_CACHE: Dict[str, FastTextModel] = {}
+
+
+def load_model_cached(path: Union[str, Path]) -> FastTextModel:
+    key = str(path)
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        try:
+            model = FastTextModel.load(path)
+        except MemoryError:
+            raise
+        except FileNotFoundError:
+            raise
+        except Exception as e:  # parity: infer.py:170-178
+            raise ModelLoadError(
+                f"fast-langdetect-spark: Failed to load model: {e}"
+            ) from e
+        _MODEL_CACHE[key] = model
+    return model
+
+
+class LangDetector:
+    """Language detector over the NumPy fastText predictor."""
+
+    def __init__(self, config: Optional[LangDetectConfig] = None):
+        self._models: Dict[str, FastTextModel] = {}
+        self.config = config or LangDetectConfig()
+
+    # ------------------------------------------------------------ model mgmt
+
+    def _resolve_full_path(self) -> Path:
+        cache_dir = Path(self.config.cache_dir)
+        found = resolve_full_model_path(str(cache_dir))
+        if found is not None:
+            return found
+        # parity with ModelDownloader.download (infer.py:62-75): a missing
+        # non-default cache dir raises FileNotFoundError, no fallback
+        default_dir = Path(CACHE_DIRECTORY)
+        if not cache_dir.exists() and cache_dir != default_dir:
+            raise FileNotFoundError(
+                f"fast-langdetect-spark: Cache directory not found: {cache_dir}"
+            )
+        raise FastLangdetectError(
+            "fast-langdetect-spark: full model lid.176.bin unavailable and "
+            "downloads are disabled in this deployment "
+            f"(looked in {cache_dir / FULL_MODEL_FILENAME} and "
+            "$FLD_SPARK_FULL_MODEL_PATH)"
+        )
+
+    def _get_model(
+        self, low_memory: bool = True, *, fallback_on_memory_error: bool = False
+    ) -> FastTextModel:
+        cache_key = "low_memory" if low_memory else "high_memory"
+        if model := self._models.get(cache_key):
+            return model
+        try:
+            if self.config.custom_model_path is not None:
+                model = load_model_cached(self.config.custom_model_path)
+            elif low_memory:
+                model = load_model_cached(resolve_lite_model_path())
+            else:
+                model = load_model_cached(self._resolve_full_path())
+            self._models[cache_key] = model
+            return model
+        except MemoryError:
+            if (not low_memory) and fallback_on_memory_error:
+                logger.info("fast-langdetect-spark: Falling back to low-memory model...")
+                return self._get_model(low_memory=True, fallback_on_memory_error=False)
+            raise
+        except FastLangdetectError:
+            if (not low_memory) and fallback_on_memory_error:
+                # offline substitute for the reference's download path: 'auto'
+                # degrades to lite when the bin is absent (documented above)
+                logger.info(
+                    "fast-langdetect-spark: full model unavailable offline; "
+                    "auto mode falling back to lite"
+                )
+                return self._get_model(low_memory=True, fallback_on_memory_error=False)
+            raise
+
+    # -------------------------------------------------------------- detection
+
+    def detect(
+        self,
+        text: str,
+        *,
+        model: Optional[str] = None,
+        k: int = 1,
+        threshold: float = 0.0,
+    ) -> List[Dict[str, Any]]:
+        """Parity port of LangDetector.detect (infer.py:306-351)."""
+        if model is None:
+            sel_model = self.config.model
+        else:
+            if model not in {"lite", "full", "auto"}:
+                raise FastLangdetectError(f"Invalid model: {model}")
+            sel_model = model
+
+        if sel_model == "lite":
+            ft_model = self._get_model(low_memory=True, fallback_on_memory_error=False)
+        elif sel_model == "full":
+            ft_model = self._get_model(low_memory=False, fallback_on_memory_error=False)
+        else:
+            ft_model = self._get_model(low_memory=False, fallback_on_memory_error=True)
+
+        text = preprocess_text(text, self.config.max_input_length)
+        normalized_text = normalize_text(text, self.config.normalize_input)
+        labels, scores = ft_model.predict(normalized_text, k=k, threshold=threshold)
+        results = [
+            {
+                "lang": label.replace("__label__", ""),
+                "score": min(float(score), 1.0),
+            }
+            for label, score in zip(labels, scores)
+        ]
+        return sorted(results, key=lambda x: x["score"], reverse=True)
+
+
+_default_detector = LangDetector()
+
+
+def detect(
+    text: str,
+    *,
+    model: Optional[str] = None,
+    k: int = 1,
+    threshold: float = 0.0,
+    config: Optional[LangDetectConfig] = None,
+) -> List[Dict[str, Union[str, float]]]:
+    """Functional entry point (parity: infer.py:358-367)."""
+    detector = LangDetector(config) if config is not None else _default_detector
+    return detector.detect(text, model=model, k=k, threshold=threshold)
+
+
+def detect_language(sentence: str, *, low_memory: bool = True) -> str:
+    """Legacy wrapper (parity: __init__.py:20-32): uppercase code, JA→ZH fix."""
+    model = "lite" if low_memory else "full"
+    res_list = detect(sentence, model=model, k=1)
+    lang_code = res_list[0].get("lang").upper() if res_list else "EN"
+    if lang_code == "JA" and not is_japanese(sentence):
+        lang_code = "ZH"
+    return lang_code

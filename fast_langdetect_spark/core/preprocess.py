@@ -1,0 +1,89 @@
+"""Text preprocessing/normalization with exact reference parity.
+
+Semantics mirrored (with citations into /root/reference):
+  * newline → space, always, silently, only '\\n'
+    (src/fast_langdetect/infer.py:234-236)
+  * truncation to ``max_input_length`` code points AFTER newline replacement
+    and BEFORE normalization (infer.py:238-243; default 80, infer.py:199)
+  * conditional lowercasing: ``text.isupper()`` (Python semantics: ≥1 cased
+    char, no lowercase) OR >80% of [A-Za-z] chars are [A-Z] and len>5
+    (infer.py:265-269)
+
+Both scalar (str → str) and vectorized (pd.Series → pd.Series) forms are
+provided; the vectorized forms are what the Spark pandas UDFs use, and the
+test suite asserts scalar ≡ vectorized on every fixture row.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import pandas as pd
+
+DEFAULT_MAX_INPUT_LENGTH = 80
+
+_RE_UPPER = re.compile(r"[A-Z]")
+_RE_ALPHA = re.compile(r"[A-Za-z]")
+# Exclusive kana bounds 0x3040 < ord(ch) < 0x30FF (reference __init__.py:13-17)
+_RE_KANA = re.compile("[ぁ-ヾ]")
+
+
+def preprocess_text(text: str, max_input_length: Optional[int] = DEFAULT_MAX_INPUT_LENGTH) -> str:
+    """Scalar parity port of LangDetector._preprocess_text."""
+    if "\n" in text:
+        text = text.replace("\n", " ")
+    if max_input_length is not None and len(text) > max_input_length:
+        text = text[:max_input_length]
+    return text
+
+
+def normalize_text(text: str, should_normalize: bool = False) -> str:
+    """Scalar parity port of LangDetector._normalize_text."""
+    if not should_normalize:
+        return text
+    if text.isupper() or (
+        len(_RE_UPPER.findall(text)) > 0.8 * len(_RE_ALPHA.findall(text))
+        and len(text) > 5
+    ):
+        return text.lower()
+    return text
+
+
+def is_japanese(string: str) -> bool:
+    """Kana scan with the reference's exclusive codepoint bounds."""
+    for ch in string:
+        if 0x3040 < ord(ch) < 0x30FF:
+            return True
+    return False
+
+
+# ----------------------------------------------------------------- vectorized
+
+
+def preprocess_series(
+    s: pd.Series, max_input_length: Optional[int] = DEFAULT_MAX_INPUT_LENGTH
+) -> pd.Series:
+    """Vectorized _preprocess_text over a pandas Series (code-point slicing —
+    pandas ``str`` ops operate on code points exactly like Python ``str``)."""
+    s = s.fillna("").astype("object").astype(str)
+    s = s.str.replace("\n", " ", regex=False)
+    if max_input_length is not None:
+        s = s.str.slice(0, max_input_length)
+    return s
+
+
+def normalize_series(s: pd.Series, should_normalize: bool = True) -> pd.Series:
+    """Vectorized _normalize_text over a pandas Series."""
+    if not should_normalize:
+        return s
+    n_upper = s.str.count(r"[A-Z]")
+    n_alpha = s.str.count(r"[A-Za-z]")
+    mask = s.str.isupper() | ((n_upper > 0.8 * n_alpha) & (s.str.len() > 5))
+    lowered = s.str.lower()
+    return s.where(~mask, lowered)
+
+
+def has_kana_series(s: pd.Series) -> pd.Series:
+    """Vectorized is_japanese (used for the JA→ZH relabel rule)."""
+    return s.str.contains(_RE_KANA, regex=True, na=False)

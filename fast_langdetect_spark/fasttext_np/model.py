@@ -1,0 +1,456 @@
+"""Pure-NumPy reader + predictor for fastText supervised models (.ftz/.bin).
+
+Built from scratch against the PUBLIC fastText binary format (Joulin et al.,
+arXiv:1607.01759; FastText.zip quantization, arXiv:1612.03651) so that the
+pipeline needs no native fastText dependency on Spark executors.  Semantics
+mirror what the reference library delegates to ``fasttext-predict``
+(/root/reference/src/fast_langdetect/infer.py:343) — tokenize → subword ids →
+mean-pool embeddings → hierarchical-softmax top-k — but the implementation is
+vectorized for *batches* of texts (NumPy matmuls) rather than one string at a
+time, because on Spark it runs inside Arrow-batched pandas UDFs.
+
+File layout handled (format version 12):
+  int32 magic=793712314, int32 version
+  Args: 12×int32 (dim ws epoch minCount neg wordNgrams loss model bucket
+        minn maxn lrUpdateRate) + float64 t
+  Dictionary: int32 size,nwords,nlabels; int64 ntokens,pruneidx_size;
+        `size` entries of (cstring word, int64 count, int8 type);
+        pruneidx_size × (int32,int32) pairs
+  bool quant_input; input matrix (quantized PQ or dense)
+  bool qout; output matrix (quantized or dense)
+
+Quantized matrices (PQ): bool qnorm, int64 m, int64 n, int32 codesize,
+codesize×uint8 codes, ProductQuantizer(int32 dim,nsubq,dsub,lastdsub,
+float32 centroids[dim*256]), then if qnorm: m×uint8 norm codes + norm PQ.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+FASTTEXT_MAGIC = 793712314
+EOS = b"</s>"
+BOW = b"<"
+EOW = b">"
+LABEL_PREFIX = b"__label__"
+# fastText's std_log smoothing constant (log(x + 1e-5))
+LOG_EPS = 1e-5
+# fastText word separators (Dictionary::readWord)
+_WHITESPACE = b" \n\t\x0b\x0c\r\x00"
+
+def fnv1a(data: bytes) -> int:
+    """FNV-1a 32-bit over *signed* chars (fastText Dictionary::hash).
+
+    Bytes >= 0x80 are sign-extended to 32 bits before the XOR, matching
+    ``uint32_t(int8_t(c))`` in the C++ implementation.
+    """
+    h = 2166136261
+    for b in data:
+        if b >= 128:
+            b |= 0xFFFFFF00
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def compute_subword_hashes(word: bytes, minn: int, maxn: int, bucket: int) -> List[int]:
+    """Char-ngram bucket hashes of a token wrapped as <word> — UTF-8 aware.
+
+    Port of the public Dictionary::computeSubwords semantics: iterate byte
+    positions, skip UTF-8 continuation bytes as ngram starts, grow each ngram
+    one *codepoint* at a time, hash ngrams of codepoint-length minn..maxn
+    (the single-char boundary grams are excluded) modulo `bucket`.
+    """
+    out: List[int] = []
+    nb = len(word)
+    for i in range(nb):
+        if (word[i] & 0xC0) == 0x80:
+            continue
+        j = i
+        n = 1
+        while j < nb and n <= maxn:
+            j += 1
+            while j < nb and (word[j] & 0xC0) == 0x80:
+                j += 1
+            if n >= minn and not (n == 1 and (i == 0 or j == nb)):
+                out.append(fnv1a(word[i:j]) % bucket)
+            n += 1
+    return out
+
+
+def _read_cstring(data: bytes, off: int) -> Tuple[bytes, int]:
+    end = data.index(b"\x00", off)
+    return data[off:end], end + 1
+
+
+@dataclass
+class _HSTree:
+    """Huffman tree over the label distribution (public hs-loss algorithm).
+
+    Stored flattened for vectorized scoring: for each label `i`,
+    ``paths[i]`` holds output-matrix row indices along root→leaf and
+    ``codes[i]`` the right/left branch bits.  ``pos_mask``/``neg_mask`` are
+    dense (nlabels × nlabels-1) float32 one-hot path matrices so a whole
+    batch scores with two matmuls.
+    """
+
+    paths: List[List[int]]
+    codes: List[List[bool]]
+    pos_mask: np.ndarray
+    neg_mask: np.ndarray
+
+
+def _build_hs_tree(counts: Sequence[int]) -> _HSTree:
+    osz = len(counts)
+    parent = [-1] * (2 * osz - 1)
+    binary = [False] * (2 * osz - 1)
+    cnt = [0] * (2 * osz - 1)
+    for i in range(osz):
+        cnt[i] = counts[i]
+    for i in range(osz, 2 * osz - 1):
+        cnt[i] = 1 << 60  # sentinel "infinite"
+    leaf = osz - 1
+    node = osz
+    for i in range(osz, 2 * osz - 1):
+        mini = [0, 0]
+        for j in range(2):
+            if leaf >= 0 and cnt[leaf] < cnt[node]:
+                mini[j] = leaf
+                leaf -= 1
+            else:
+                mini[j] = node
+                node += 1
+        cnt[i] = cnt[mini[0]] + cnt[mini[1]]
+        parent[mini[0]] = i
+        parent[mini[1]] = i
+        binary[mini[1]] = True
+    paths: List[List[int]] = []
+    codes: List[List[bool]] = []
+    for i in range(osz):
+        path: List[int] = []
+        code: List[bool] = []
+        j = i
+        while parent[j] != -1:
+            path.append(parent[j] - osz)
+            code.append(binary[j])
+            j = parent[j]
+        paths.append(path)
+        codes.append(code)
+    pos = np.zeros((osz, osz - 1), dtype=np.float32)
+    neg = np.zeros((osz, osz - 1), dtype=np.float32)
+    for i in range(osz):
+        for p, c in zip(paths[i], codes[i]):
+            if c:
+                pos[i, p] = 1.0
+            else:
+                neg[i, p] = 1.0
+    return _HSTree(paths=paths, codes=codes, pos_mask=pos, neg_mask=neg)
+
+
+def _decode_quant_matrix(data: bytes, off: int) -> Tuple[np.ndarray, int]:
+    """Decode a PQ-quantized matrix to dense float32 (rows × dim)."""
+    qnorm = data[off] != 0
+    off += 1
+    m, n = struct.unpack_from("<2q", data, off)
+    off += 16
+    (codesize,) = struct.unpack_from("<i", data, off)
+    off += 4
+    codes = np.frombuffer(data, dtype=np.uint8, count=codesize, offset=off)
+    off += codesize
+    dim, nsubq, dsub, lastdsub = struct.unpack_from("<4i", data, off)
+    off += 16
+    ksub = 256
+    cents = np.frombuffer(data, dtype="<f4", count=dim * ksub, offset=off).copy()
+    off += dim * ksub * 4
+    codes = codes.reshape(m, nsubq)
+    out = np.empty((m, n), dtype=np.float32)
+    for sq in range(nsubq):
+        d = lastdsub if sq == nsubq - 1 else dsub
+        if sq == nsubq - 1:
+            # get_centroids(last subq): &centroids[m*ksub*dsub + i*lastdsub]
+            start = sq * ksub * dsub
+            table = cents[start:start + ksub * lastdsub].reshape(ksub, lastdsub)
+        else:
+            table = cents[sq * ksub * dsub:(sq + 1) * ksub * dsub].reshape(ksub, dsub)
+        out[:, sq * dsub: sq * dsub + d] = table[codes[:, sq]]
+    if qnorm:
+        norm_codes = np.frombuffer(data, dtype=np.uint8, count=m, offset=off)
+        off += m
+        # norm PQ: dim=1 → nsubq=1, centroids = 256 floats
+        ndim, nnsubq, ndsub, nlastdsub = struct.unpack_from("<4i", data, off)
+        off += 16
+        ncents = np.frombuffer(data, dtype="<f4", count=ndim * ksub, offset=off).copy()
+        off += ndim * ksub * 4
+        out *= ncents[norm_codes][:, None]
+    return out, off
+
+
+def _decode_dense_matrix(data: bytes, off: int) -> Tuple[np.ndarray, int]:
+    m, n = struct.unpack_from("<2q", data, off)
+    off += 16
+    mat = np.frombuffer(data, dtype="<f4", count=m * n, offset=off).reshape(m, n).copy()
+    off += m * n * 4
+    return mat, off
+
+
+class FastTextModel:
+    """Loaded fastText supervised model with batched NumPy prediction.
+
+    Parity target: the `predict(text, k, threshold)` surface the reference
+    wrapper calls (/root/reference/src/fast_langdetect/infer.py:343).
+    """
+
+    def __init__(
+        self,
+        *,
+        dim: int,
+        minn: int,
+        maxn: int,
+        bucket: int,
+        word_ngrams: int,
+        loss: int,
+        vocab: Dict[bytes, int],
+        words: List[bytes],
+        counts: List[int],
+        nwords: int,
+        nlabels: int,
+        pruneidx: Dict[int, int],
+        input_matrix: np.ndarray,
+        output_matrix: np.ndarray,
+    ) -> None:
+        self.dim = dim
+        self.minn = minn
+        self.maxn = maxn
+        self.bucket = bucket
+        self.word_ngrams = word_ngrams
+        self.loss = loss
+        self.vocab = vocab
+        self.words = words
+        self.counts = counts
+        self.nwords = nwords
+        self.nlabels = nlabels
+        self.pruneidx = pruneidx
+        self.input_matrix = np.ascontiguousarray(input_matrix, dtype=np.float32)
+        self.output_matrix = np.ascontiguousarray(output_matrix, dtype=np.float32)
+        self.labels: List[str] = [
+            words[nwords + i].decode("utf-8") for i in range(nlabels)
+        ]
+        self.labels_stripped: List[str] = [
+            lab[len("__label__"):] if lab.startswith("__label__") else lab
+            for lab in self.labels
+        ]
+        label_counts = [counts[nwords + i] for i in range(nlabels)]
+        self._tree = _build_hs_tree(label_counts)
+        # output rows used by hs are 0..nlabels-2
+        self._wo = self.output_matrix[: nlabels - 1] if loss == 1 else self.output_matrix
+        self._eos_id = vocab.get(EOS)
+        # token → np.ndarray of input-matrix row ids
+        self._subword_cache: Dict[bytes, np.ndarray] = {}
+        self._oov_cache_cap = 1 << 17
+        self._label_prefix = LABEL_PREFIX
+
+    # ------------------------------------------------------------------ load
+
+    @classmethod
+    def load(cls, path: Union[str, Path]) -> "FastTextModel":
+        data = Path(path).read_bytes()
+        magic, version = struct.unpack_from("<2i", data, 0)
+        if magic != FASTTEXT_MAGIC:
+            raise ValueError(f"not a fastText model file: bad magic {magic}")
+        if version > 12:
+            raise ValueError(f"unsupported fastText format version {version}")
+        off = 8
+        (dim, ws, epoch, min_count, neg, word_ngrams, loss, model_t, bucket,
+         minn, maxn, lr_update) = struct.unpack_from("<12i", data, off)
+        off += 48
+        off += 8  # double t
+        if model_t != 3:
+            raise ValueError("only supervised fastText models are supported")
+        size, nwords, nlabels = struct.unpack_from("<3i", data, off)
+        off += 12
+        ntokens, pruneidx_size = struct.unpack_from("<2q", data, off)
+        off += 16
+        words: List[bytes] = []
+        counts: List[int] = []
+        for _ in range(size):
+            w, off = _read_cstring(data, off)
+            (count,) = struct.unpack_from("<q", data, off)
+            off += 9  # int64 count + int8 entry type
+            words.append(w)
+            counts.append(count)
+        pruneidx: Dict[int, int] = {}
+        if pruneidx_size > 0:
+            pairs = np.frombuffer(data, dtype="<i4", count=2 * pruneidx_size, offset=off)
+            off += 8 * pruneidx_size
+            pruneidx = dict(zip(pairs[0::2].tolist(), pairs[1::2].tolist()))
+        quant_input = data[off] != 0
+        off += 1
+        if quant_input:
+            input_matrix, off = _decode_quant_matrix(data, off)
+        else:
+            input_matrix, off = _decode_dense_matrix(data, off)
+        qout = data[off] != 0
+        off += 1
+        if quant_input and qout:
+            output_matrix, off = _decode_quant_matrix(data, off)
+        else:
+            output_matrix, off = _decode_dense_matrix(data, off)
+        vocab = {w: i for i, w in enumerate(words)}
+        return cls(
+            dim=dim, minn=minn, maxn=maxn, bucket=bucket,
+            word_ngrams=word_ngrams, loss=loss, vocab=vocab, words=words,
+            counts=counts, nwords=nwords, nlabels=nlabels, pruneidx=pruneidx,
+            input_matrix=input_matrix, output_matrix=output_matrix,
+        )
+
+    # ------------------------------------------------------------- tokenizing
+
+    def _map_hashes(self, hashes: List[int]) -> List[int]:
+        """Bucket hash → pruned input-matrix row (Dictionary::pushHash)."""
+        if self.pruneidx:
+            pr = self.pruneidx
+            return [self.nwords + pr[h] for h in hashes if h in pr]
+        return [self.nwords + h for h in hashes]
+
+    def _token_ids(self, token: bytes) -> np.ndarray:
+        cached = self._subword_cache.get(token)
+        if cached is not None:
+            return cached
+        wid = self.vocab.get(token)
+        if wid is not None:
+            if wid >= self.nwords:  # in-vocab label token: not a word
+                ids = np.empty(0, dtype=np.int64)
+            elif token == EOS or self.maxn <= 0:
+                ids = np.asarray([wid], dtype=np.int64)
+            else:
+                hashes = compute_subword_hashes(
+                    BOW + token + EOW, self.minn, self.maxn, self.bucket
+                )
+                ids = np.asarray([wid] + self._map_hashes(hashes), dtype=np.int64)
+        else:
+            if token.startswith(self._label_prefix) or token == EOS:
+                ids = np.empty(0, dtype=np.int64)
+            else:
+                hashes = compute_subword_hashes(
+                    BOW + token + EOW, self.minn, self.maxn, self.bucket
+                )
+                ids = np.asarray(self._map_hashes(hashes), dtype=np.int64)
+        if len(self._subword_cache) >= self._oov_cache_cap:
+            self._subword_cache.clear()
+        self._subword_cache[token] = ids
+        return ids
+
+    def line_ids(self, text: str) -> np.ndarray:
+        """Input-matrix row ids for one line (Dictionary::getLine for predict).
+
+        The EOS token is appended exactly as the public python binding does
+        by suffixing '\\n' before prediction.
+        """
+        if "\n" in text:
+            raise ValueError("predict processes one line at a time (remove '\\n')")
+        raw = text.encode("utf-8")
+        ids: List[np.ndarray] = []
+        tok_ids = self._token_ids
+        for token in _split_whitespace(raw):
+            arr = tok_ids(token)
+            if arr.size:
+                ids.append(arr)
+        if self._eos_id is not None:
+            ids.append(np.asarray([self._eos_id], dtype=np.int64))
+        if not ids:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(ids)
+
+    # -------------------------------------------------------------- predicting
+
+    def _hidden_batch(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Mean-pooled hidden vectors for a batch; returns (hidden, valid)."""
+        id_arrays = [self.line_ids(t) for t in texts]
+        lens = np.asarray([a.size for a in id_arrays], dtype=np.int64)
+        valid = lens > 0
+        hidden = np.zeros((len(texts), self.dim), dtype=np.float32)
+        if valid.any():
+            flat = np.concatenate([a for a in id_arrays if a.size])
+            rows = self.input_matrix[flat]
+            bounds = np.zeros(int(valid.sum()), dtype=np.int64)
+            np.cumsum(lens[valid][:-1], out=bounds[1:])
+            sums = np.add.reduceat(rows, bounds, axis=0)
+            hidden[valid] = sums / lens[valid][:, None]
+        return hidden, valid
+
+    def label_log_probs(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """(B × nlabels) hierarchical-softmax log-probabilities, plus validity.
+
+        log P(label) = Σ_path log(σ(±f) + 1e-5), fastText's std_log smoothing
+        included, so exp() of these matches fastText scores bit-for-bit-ish
+        (float32 accumulation order differs; agreement ~1e-6).
+        """
+        hidden, valid = self._hidden_batch(texts)
+        f = hidden @ self._wo.T  # (B, nlabels-1)
+        sig = 1.0 / (1.0 + np.exp(-f, dtype=np.float64))
+        lpos = np.log(sig + LOG_EPS)
+        lneg = np.log1p(-sig + LOG_EPS)
+        tree = self._tree
+        logp = lpos @ tree.pos_mask.T + lneg @ tree.neg_mask.T
+        return logp, valid
+
+    def predict_batch(
+        self,
+        texts: Sequence[str],
+        k: int = 1,
+        threshold: float = 0.0,
+    ) -> List[Tuple[List[str], np.ndarray]]:
+        """Top-k (labels, scores) per text; labels carry the __label__ prefix.
+
+        Matches fastText's hs DFS + heap semantics: results sorted by score
+        desc, pruned at log(threshold + 1e-5), at most k entries; an
+        un-tokenizable text yields ([], []) like fastText's empty-words path.
+        """
+        if k < 0:
+            k = self.nlabels
+        logp, valid = self.label_log_probs(texts)
+        cut = float(np.log(threshold + LOG_EPS))
+        out: List[Tuple[List[str], np.ndarray]] = []
+        nl = self.nlabels
+        kk = min(k, nl)
+        if kk <= 0:
+            return [([], np.empty(0, dtype=np.float64)) for _ in texts]
+        # argpartition per batch then refine
+        if kk < nl:
+            part = np.argpartition(-logp, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.tile(np.arange(nl), (logp.shape[0], 1))
+        labels = self.labels
+        for b in range(logp.shape[0]):
+            if not valid[b]:
+                out.append(([], np.empty(0, dtype=np.float64)))
+                continue
+            idx = part[b]
+            vals = logp[b, idx]
+            order = np.argsort(-vals, kind="stable")
+            idx = idx[order]
+            vals = vals[order]
+            keep = vals >= cut
+            idx = idx[keep]
+            vals = vals[keep]
+            out.append(([labels[i] for i in idx], np.exp(vals)))
+        return out
+
+    def predict(
+        self, text: str, k: int = 1, threshold: float = 0.0
+    ) -> Tuple[Tuple[str, ...], np.ndarray]:
+        """Single-text convenience matching the fasttext-predict signature."""
+        (labels, scores), = self.predict_batch([text], k=k, threshold=threshold)
+        return tuple(labels), scores
+
+
+def _split_whitespace(raw: bytes) -> List[bytes]:
+    """Split on the fastText separator byte set, dropping empty tokens."""
+    for sep in b"\t\x0b\x0c\r\x00":
+        if sep in raw:
+            raw = raw.replace(bytes([sep]), b" ")
+    return [t for t in raw.split(b" ") if t]

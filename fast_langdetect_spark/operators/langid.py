@@ -1,0 +1,168 @@
+"""Spark language-ID operators: Arrow-batched pandas UDFs over the NumPy
+fastText predictor.
+
+Design (SURVEY.md §4.4): ``Iterator[pd.Series] -> Iterator[...]`` pandas UDFs
+so the model is loaded ONCE per Python worker per stage — the cluster-scale
+analogue of the reference's per-detector model cache
+(/root/reference/src/fast_langdetect/infer.py:279-297).  Only the model *path*
+is captured in the UDF closure (a short string — broadcast-equivalent); the
+50k×16 matrix is decoded executor-side on first batch.
+
+Three surfaces, fastest first:
+  * ``lang_top_udf``     — struct<lang,score>: vectorized argmax, no per-row
+                           Python loop at all.  The pipeline hot path.
+  * ``detect_langs_udf`` — array<struct<lang,score>>: full top-k parity with
+                           the reference's detect() result shape.
+  * ``detect_language_udf`` — legacy uppercase code with the JA→ZH kana rule
+                           (reference __init__.py:20-32).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..core.preprocess import (
+    DEFAULT_MAX_INPUT_LENGTH,
+    has_kana_series,
+    normalize_series,
+    preprocess_series,
+)
+
+_WORKER_MODELS: dict = {}
+
+
+def _get_worker_model(model_path: str):
+    """Per-Python-worker model singleton (one decode per executor worker)."""
+    model = _WORKER_MODELS.get(model_path)
+    if model is None:
+        from ..fasttext_np.model import FastTextModel
+
+        model = FastTextModel.load(model_path)
+        _WORKER_MODELS[model_path] = model
+    return model
+
+
+def _prepared(
+    s: pd.Series, normalize: bool, max_input_length: Optional[int]
+) -> pd.Series:
+    return normalize_series(preprocess_series(s, max_input_length), normalize)
+
+
+def lang_top_udf(
+    model_path: str,
+    *,
+    normalize: bool = True,
+    max_input_length: Optional[int] = DEFAULT_MAX_INPUT_LENGTH,
+):
+    """Top-1 language as struct<lang:string, score:float> — fully vectorized."""
+
+    @pandas_udf("struct<lang:string, score:float>")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        model = _get_worker_model(model_path)
+        labels = np.asarray(model.labels_stripped, dtype=object)
+        for s in batches:
+            prepared = _prepared(s, normalize, max_input_length)
+            logp, valid = model.label_log_probs(prepared.tolist())
+            top = logp.argmax(axis=1)
+            score = np.exp(logp[np.arange(logp.shape[0]), top])
+            np.minimum(score, 1.0, out=score)
+            lang = labels[top]
+            lang[~valid] = None
+            score_f = score.astype(np.float32)
+            score_col = pd.array(score_f, dtype="float32")
+            out = pd.DataFrame({"lang": lang, "score": score_col})
+            out.loc[~valid, "score"] = None
+            yield out
+
+    return _udf
+
+
+def detect_langs_udf(
+    model_path: str,
+    *,
+    k: int = 1,
+    threshold: float = 0.0,
+    normalize: bool = True,
+    max_input_length: Optional[int] = DEFAULT_MAX_INPUT_LENGTH,
+):
+    """Reference detect() parity: array<struct<lang,score>> sorted score desc."""
+
+    @pandas_udf("array<struct<lang:string, score:float>>")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = _get_worker_model(model_path)
+        strip = len("__label__")
+        for s in batches:
+            prepared = _prepared(s, normalize, max_input_length)
+            results = model.predict_batch(prepared.tolist(), k=k, threshold=threshold)
+            out = [
+                [
+                    {"lang": lab[strip:], "score": min(float(sc), 1.0)}
+                    for lab, sc in zip(labels, scores)
+                ]
+                for labels, scores in results
+            ]
+            yield pd.Series(out, index=s.index)
+
+    return _udf
+
+
+def detect_language_udf(
+    model_path: str,
+    *,
+    normalize: bool = True,
+    max_input_length: Optional[int] = DEFAULT_MAX_INPUT_LENGTH,
+):
+    """Legacy detect_language(): uppercase code, default EN, JA→ZH kana rule.
+
+    The kana scan runs on the ORIGINAL sentence (reference __init__.py:30
+    passes the raw input to is_japanese), not the truncated/normalized one.
+    """
+
+    @pandas_udf("string")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = _get_worker_model(model_path)
+        labels_upper = np.asarray(
+            [lab.upper() for lab in model.labels_stripped], dtype=object
+        )
+        for s in batches:
+            raw = s.fillna("").astype(str)
+            prepared = _prepared(raw, normalize, max_input_length)
+            logp, valid = model.label_log_probs(prepared.tolist())
+            top = logp.argmax(axis=1)
+            codes = pd.Series(labels_upper[top], index=s.index, dtype=object)
+            codes[~valid] = "EN"
+            is_ja = codes == "JA"
+            if bool(is_ja.any()):
+                kana = has_kana_series(raw)
+                codes[is_ja & ~kana] = "ZH"
+            yield codes
+
+    return _udf
+
+
+def with_language(
+    df,
+    text_col: str = "content",
+    model_path: Optional[str] = None,
+    *,
+    normalize: bool = True,
+    max_input_length: Optional[int] = DEFAULT_MAX_INPUT_LENGTH,
+    out_prefix: str = "lang",
+):
+    """Attach ``{prefix}_top`` and ``{prefix}_score`` columns to a DataFrame."""
+    if model_path is None:
+        from ..resources import resolve_lite_model_path
+
+        model_path = str(resolve_lite_model_path())
+    udf = lang_top_udf(
+        model_path, normalize=normalize, max_input_length=max_input_length
+    )
+    det = udf(F.col(text_col))
+    return df.withColumn("__det", det).withColumn(
+        f"{out_prefix}_top", F.col("__det.lang")
+    ).withColumn(f"{out_prefix}_score", F.col("__det.score")).drop("__det")

@@ -1,0 +1,67 @@
+"""Model artifact resolution.
+
+The lite lid.176.ftz (938,013 bytes, public CC-BY-SA model from
+dl.fbaipublicfiles.com, vendored by the reference at
+/root/reference/src/fast_langdetect/resources/lid.176.ftz) is NOT copied into
+this repo; at deploy time it ships to executors via ``spark-submit --files
+lid.176.ftz`` and resolves through ``SparkFiles``.  In the sandbox it resolves
+to the read-only reference copy.
+
+Resolution order (first hit wins):
+  1. ``$FLD_SPARK_MODEL_PATH`` (explicit override / custom model)
+  2. ``SparkFiles.get('lid.176.ftz')`` when running inside a Spark worker
+  3. ``<package>/resources/lid.176.ftz`` if a deployment vendored it
+  4. the sandbox reference copy (read-only)
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+LITE_MODEL_FILENAME = "lid.176.ftz"
+FULL_MODEL_FILENAME = "lid.176.bin"
+FULL_MODEL_URL = "https://dl.fbaipublicfiles.com/fasttext/supervised-models/lid.176.bin"
+
+_SANDBOX_REFERENCE_COPY = Path(
+    "/root/reference/src/fast_langdetect/resources/lid.176.ftz"
+)
+
+
+def resolve_lite_model_path() -> Path:
+    env = os.environ.get("FLD_SPARK_MODEL_PATH")
+    if env:
+        p = Path(env)
+        if p.exists():
+            return p
+        raise FileNotFoundError(f"FLD_SPARK_MODEL_PATH does not exist: {env}")
+    try:  # inside a Spark python worker / driver with files shipped
+        from pyspark import SparkFiles
+
+        p = Path(SparkFiles.get(LITE_MODEL_FILENAME))
+        if p.exists():
+            return p
+    except Exception:
+        pass
+    pkg = Path(__file__).parent / "resources" / LITE_MODEL_FILENAME
+    if pkg.exists():
+        return pkg
+    if _SANDBOX_REFERENCE_COPY.exists():
+        return _SANDBOX_REFERENCE_COPY
+    raise FileNotFoundError(
+        "lid.176.ftz not found: set FLD_SPARK_MODEL_PATH or ship it with "
+        "spark-submit --files"
+    )
+
+
+def resolve_full_model_path(cache_dir: Optional[str] = None) -> Optional[Path]:
+    """Best-effort location of the full lid.176.bin (never downloads)."""
+    env = os.environ.get("FLD_SPARK_FULL_MODEL_PATH")
+    if env and Path(env).exists():
+        return Path(env)
+    if cache_dir:
+        p = Path(cache_dir) / FULL_MODEL_FILENAME
+        if p.exists():
+            return p
+    return None

@@ -1,0 +1,49 @@
+"""SparkSession builder tuned for the quality-filter workload.
+
+Settings chosen for wide-content (multi-KB `content` column) corpora:
+  * AQE on (runtime coalescing + skew-join splitting)
+  * Arrow on with a bounded records-per-batch so a batch of large files
+    stays well under executor memory
+  * shuffle partitions sized to the local core count; on a real cluster this
+    is overridden (AQE coalesces anyway)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_ARROW_BATCH = 2048
+
+
+def build_session(
+    app_name: str = "fast-langdetect-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(int(os.environ.get("FLD_SPARK_ARROW_BATCH", DEFAULT_ARROW_BATCH))),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("FLD_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
+    return builder.getOrCreate()

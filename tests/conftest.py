@@ -1,0 +1,33 @@
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+# Offline stand-in for the full model: the reference's model='full' tests run
+# against the lite artifact (SURVEY.md §7.1 — lid.176.bin is not fetchable).
+os.environ.setdefault(
+    "FLD_SPARK_FULL_MODEL_PATH",
+    "/root/reference/src/fast_langdetect/resources/lid.176.ftz",
+)
+
+_SPARK = None
+
+
+@pytest.fixture(scope="session")
+def spark():
+    """Shared local SparkSession (created lazily, reused across test files)."""
+    global _SPARK
+    if _SPARK is None:
+        from fast_langdetect_spark.session import build_session
+
+        _SPARK = build_session(app_name="fld-tests", cpus=4, shuffle_partitions=8)
+    return _SPARK
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -1,0 +1,185 @@
+"""Parity suite mirroring the reference's own tests.
+
+Every case here is a direct port of an assertion in
+/root/reference/tests/test_detect.py or tests/test_real_detection.py, run
+against this package's from-scratch implementation.  model='full' resolves to
+the lite artifact offline (conftest sets FLD_SPARK_FULL_MODEL_PATH; SURVEY §7.1).
+"""
+
+import pytest
+
+from fast_langdetect_spark import (
+    FastLangdetectError,
+    LangDetectConfig,
+    LangDetector,
+    detect,
+    detect_language,
+)
+
+SAMPLES = [
+    ("Hello world", "en"),
+    ("你好世界", "zh"),
+    ("こんにちは世界", "ja"),
+    ("Привет мир", "ru"),
+    ("안녕하세요 세계", "ko"),
+]
+
+MIXED_SAMPLES = [
+    "Hello 世界 こんにちは",
+    "你好 world こんにちは",
+    "Bonjour 世界 hello",
+]
+
+
+# ---- test_detect.py ports ----------------------------------------------------
+
+
+def test_muti_detect():
+    result = detect("hello world", k=3)
+    assert result[0].get("lang") == "en"
+
+
+def test_large():
+    assert detect("hello world", k=3)[0].get("lang") == "en"
+    assert detect("你好世界", k=3)[0].get("lang") == "zh"
+
+
+def test_detect():
+    assert detect("hello world", model="full")[0]["lang"] == "en"
+    assert detect("你好世界", model="lite")[0]["lang"] == "zh"
+    assert detect("こんにちは世界", model="full")[0]["lang"] == "ja"
+    assert detect("안녕하세요 세계", model="lite")[0]["lang"] == "ko"
+    assert detect("Bonjour le monde", model="full")[0]["lang"] == "fr"
+
+
+def test_detect_totally():
+    assert detect_language("hello world") == "EN"
+    assert detect_language("你好世界") == "ZH"
+    assert detect_language("こんにちは世界") == "JA"
+    assert detect_language("안녕하세요 세계") == "KO"
+    assert detect_language("Bonjour le monde") == "FR"
+    assert detect_language("Hallo Welt") == "DE"
+    assert detect_language(
+        "這些機構主辦的課程，多以基本電腦使用為主，例如文書處理、中文輸入、互聯網應用等"
+    ) == "ZH"
+
+
+def test_newline_input_handled():
+    # reference preprocess strips '\n' before predict (infer.py:234-236)
+    result = detect("hello world\nNEW LINE", model="lite")
+    assert result[0]["lang"] == "en"
+
+
+# ---- test_real_detection.py ports --------------------------------------------
+
+
+@pytest.mark.parametrize("text,expected", SAMPLES)
+def test_basic_detection(text, expected):
+    result = detect(text)
+    assert result[0]["lang"] == expected
+    assert 0.1 <= result[0]["score"] <= 1.0
+
+
+def test_multilingual_detection():
+    for text in MIXED_SAMPLES:
+        results = detect(text, k=3)
+        assert len(results) == 3
+        assert all(
+            results[i]["score"] >= results[i + 1]["score"]
+            for i in range(len(results) - 1)
+        )
+
+
+def test_low_memory_mode():
+    for text, expected in SAMPLES:
+        assert detect(text, model="lite")[0]["lang"] == expected
+
+
+def test_strict_mode():
+    result = detect(SAMPLES[0][0], model="full")
+    assert result[0]["lang"] == SAMPLES[0][1]
+
+
+def test_long_text():
+    long_text = " ".join(text for text, _ in SAMPLES)
+    result = detect(long_text)
+    assert len(result) >= 1
+    assert "lang" in result[0] and "score" in result[0]
+
+
+def test_very_short_text():
+    result = detect("Hi")
+    assert "lang" in result[0] and "score" in result[0]
+
+
+def test_custom_config():
+    detector = LangDetector(LangDetectConfig())
+    result = detector.detect(SAMPLES[0][0], model="auto", k=1)
+    assert result[0]["lang"] == SAMPLES[0][1]
+
+
+def test_not_found_model():
+    with pytest.raises(FileNotFoundError):
+        LangDetectConfig(cache_dir="/nonexistent/path", custom_model_path="invalid_path")
+
+
+def test_not_found_model_without_fallback_on_io_error(monkeypatch):
+    monkeypatch.delenv("FLD_SPARK_FULL_MODEL_PATH", raising=False)
+    detector = LangDetector(LangDetectConfig(cache_dir="/nonexistent/path"))
+    with pytest.raises(FileNotFoundError):
+        detector.detect("Hello world", model="full", k=1)
+
+
+def test_invalid_model_name():
+    with pytest.raises(FastLangdetectError):
+        detect("hello", model="bogus")
+
+
+# ---- edge cases (TestEdgeCases ports) -----------------------------------------
+
+
+def test_empty_string():
+    result = detect("")
+    assert "lang" in result[0] and "score" in result[0]
+
+
+def test_special_characters():
+    for text in ["Hello! @#$%^&*()", "你好！@#￥%……&*（）", "こんにちは！＠＃＄％＾＆＊（）"]:
+        result = detect(text)
+        assert "lang" in result[0] and "score" in result[0]
+
+
+def test_numbers_only():
+    result = detect("12345")
+    assert "lang" in result[0] and "score" in result[0]
+
+
+def test_mixed_scripts():
+    for text in ["Hello你好こんにちは", "12345 Hello 你好", "Hello! 你好! こんにちは!"]:
+        results = detect(text, k=3)
+        assert len(results) == 3
+
+
+# ---- preprocessing parity details ---------------------------------------------
+
+
+def test_uppercase_normalization():
+    # all-upper English must not be misdetected as ja (reference issue #14)
+    assert detect("THIS IS ALL UPPERCASE ENGLISH TEXT")[0]["lang"] == "en"
+
+
+def test_truncation_before_normalize():
+    # 100 chars of 'a' then a Russian tail: truncation at 80 drops the tail
+    text = "a" * 100 + " Привет Привет Привет"
+    res_trunc = detect(text)
+    res_same = detect("a" * 80)
+    assert res_trunc[0]["lang"] == res_same[0]["lang"]
+
+
+def test_kana_exclusive_bounds():
+    from fast_langdetect_spark import is_japanese
+
+    assert is_japanese("ー")  # U+30FC katakana prolonged sound mark — inside
+    assert not is_japanese("぀")  # boundary itself excluded
+    assert not is_japanese("ヿ")  # boundary itself excluded
+    assert not is_japanese("中文")  # CJK ideographs only

@@ -1,0 +1,122 @@
+"""Unit tests for the from-scratch NumPy fastText predictor (SURVEY M0).
+
+Expected constants come from the byte-level inspection recorded in
+SURVEY.md §1.3; golden labels come from the reference's own test suite
+(/root/reference/tests/test_detect.py, tests/test_real_detection.py).
+"""
+
+import numpy as np
+import pytest
+
+from fast_langdetect_spark.fasttext_np.model import (
+    FastTextModel,
+    compute_subword_hashes,
+    fnv1a,
+)
+from fast_langdetect_spark.resources import resolve_lite_model_path
+
+
+@pytest.fixture(scope="module")
+def model():
+    return FastTextModel.load(resolve_lite_model_path())
+
+
+def test_header_constants(model):
+    # SURVEY.md §1.3 byte-verified values
+    assert model.dim == 16
+    assert model.minn == 2
+    assert model.maxn == 4
+    assert model.bucket == 2_000_000
+    assert model.word_ngrams == 1
+    assert model.loss == 1  # hierarchical softmax
+    assert model.nwords == 7235
+    assert model.nlabels == 176
+    assert len(model.pruneidx) == 42765
+    assert model.input_matrix.shape == (50_000, 16)
+    assert model.output_matrix.shape[1] == 16
+
+
+def test_fnv1a_known_vectors():
+    # FNV-1a 32-bit reference vectors (public test vectors)
+    assert fnv1a(b"") == 2166136261
+    assert fnv1a(b"a") == 0xE40C292C
+    assert fnv1a(b"foobar") == 0xBF9CF968
+    # signed-char extension: high-bit bytes must sign-extend before XOR
+    assert fnv1a("é".encode("utf-8")) != fnv1a(b"\x43\xa9")
+
+
+def test_subword_hashes_utf8_grouping():
+    # "<ab>" → 2..4-grams over codepoints: <a ab b> / <ab ab> b> is deduped? no:
+    # positions: <,a,b,> ; grams len2: <a,ab,b> ; len3: <ab,ab>,  len4: <ab>
+    grams = compute_subword_hashes(b"<ab>", 2, 4, 2_000_000)
+    assert len(grams) == 3 + 2 + 1
+    # multibyte codepoints group as single chars
+    word = "<你好>".encode("utf-8")
+    grams_mb = compute_subword_hashes(word, 2, 4, 2_000_000)
+    assert len(grams_mb) == 3 + 2 + 1
+
+
+def test_label_log_probs_sum_to_one(model):
+    logp, valid = model.label_log_probs(["hello world", "bonjour le monde"])
+    assert valid.all()
+    probs = np.exp(logp)
+    # hs with std_log 1e-5 smoothing: sums land slightly above 1
+    assert np.allclose(probs.sum(axis=1), 1.0, atol=5e-3)
+
+
+GOLDEN = [
+    ("hello world", "en"),
+    ("你好世界", "zh"),
+    ("こんにちは世界", "ja"),
+    ("안녕하세요 세계", "ko"),
+    ("Bonjour le monde", "fr"),
+    ("Привет мир", "ru"),
+    ("Hallo Welt", "de"),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDEN)
+def test_golden_top1(model, text, expected):
+    labels, scores = model.predict(text, k=1)
+    assert labels[0] == f"__label__{expected}"
+    assert 0.0 < float(scores[0]) <= 1.0 + 1e-3
+
+
+def test_topk_sorted_and_count(model):
+    labels, scores = model.predict("Hello 世界 こんにちは", k=3)
+    assert len(labels) == 3
+    assert all(scores[i] >= scores[i + 1] for i in range(len(scores) - 1))
+
+
+def test_threshold_filters(model):
+    labels_all, scores_all = model.predict("hello world", k=176)
+    labels_t, scores_t = model.predict("hello world", k=176, threshold=0.05)
+    assert len(labels_t) < len(labels_all)
+    assert all(s >= 0.05 for s in scores_t)
+
+
+def test_batch_equals_single(model):
+    texts = [t for t, _ in GOLDEN] + ["", "Hi", "12345", "Hello你好こんにちは"]
+    batch = model.predict_batch(texts, k=3)
+    for text, (labels_b, scores_b) in zip(texts, batch):
+        labels_s, scores_s = model.predict(text, k=3)
+        assert labels_b == list(labels_s)
+        assert np.allclose(scores_b, scores_s)
+
+
+def test_newline_rejected(model):
+    with pytest.raises(ValueError):
+        model.predict("hello\nworld")
+
+
+def test_empty_string_still_predicts(model):
+    labels, scores = model.predict("", k=1)
+    assert len(labels) == 1  # EOS token carries a prediction
+
+
+def test_label_tokens_in_text_are_skipped(model):
+    # in-vocab or OOV __label__ tokens must not contribute to the hidden state
+    a = model.predict("hello world __label__en", k=1)
+    b = model.predict("hello world", k=1)
+    assert a[0] == b[0]
+    assert np.allclose(a[1], b[1])

@@ -1,0 +1,73 @@
+"""Spark ≡ local equivalence for the language-ID UDFs (SURVEY §5.2 item 3)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark import detect, detect_language
+from fast_langdetect_spark.operators.langid import (
+    detect_language_udf,
+    detect_langs_udf,
+    with_language,
+)
+from fast_langdetect_spark.resources import resolve_lite_model_path
+
+TEXTS = [
+    "hello world",
+    "你好世界",
+    "こんにちは世界",
+    "안녕하세요 세계",
+    "Bonjour le monde",
+    "Привет мир",
+    "Hallo Welt",
+    "THIS IS ALL UPPERCASE ENGLISH TEXT",
+    "hello world\nNEW LINE",
+    "a" * 100 + " Привет хвост",
+    "",
+    "Hi",
+    "12345",
+    "Hello你好こんにちは",
+    "這些機構主辦的課程，多以基本電腦使用為主，例如文書處理、中文輸入、互聯網應用等",
+    None,
+]
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "id long, content string"
+    )
+
+
+def test_with_language_matches_local_detect(spark, text_df):
+    rows = with_language(text_df, "content").orderBy("id").collect()
+    for row in rows:
+        local = detect(TEXTS[row["id"]] or "", model="lite", k=1)
+        assert row["lang_top"] == local[0]["lang"]
+        assert abs(row["lang_score"] - local[0]["score"]) < 1e-5
+
+
+def test_detect_langs_udf_topk_parity(spark, text_df):
+    udf = detect_langs_udf(str(resolve_lite_model_path()), k=3)
+    rows = text_df.withColumn("det", udf(F.col("content"))).orderBy("id").collect()
+    for row in rows:
+        local = detect(TEXTS[row["id"]] or "", model="lite", k=3)
+        got = [(d["lang"], round(d["score"], 5)) for d in row["det"]]
+        want = [(d["lang"], round(d["score"], 5)) for d in local]
+        assert got == want
+
+
+def test_detect_language_udf_parity(spark, text_df):
+    udf = detect_language_udf(str(resolve_lite_model_path()))
+    rows = text_df.withColumn("code", udf(F.col("content"))).orderBy("id").collect()
+    for row in rows:
+        assert row["code"] == detect_language(TEXTS[row["id"]] or "")
+
+
+def test_documents_table_langid(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_language(df, "text")
+    counts = out.groupBy("lang_top").count().collect()
+    assert sum(r["count"] for r in counts) == df.count()
+    top_langs = {r["lang_top"] for r in counts}
+    assert "en" in top_langs
