@@ -1,11 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` — flagship: language-ID over the sf0.001 documents table
-(batched Arrow UDF over the from-scratch NumPy fastText predictor) plus the
-per-language distribution.
+``entry(spark)`` — flagship: the full quality-filter pipeline (langid UDF →
+perplexity UDF → native rules → decision) over the deterministic synthetic
+source-code corpus, summarized per language × keep decision.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
-SURVEY.md §2; DuckDB-checked at sf0.01 where SQL-expressible.
+SURVEY.md §2; DuckDB-checked at sf0.01 where SQL-expressible, rows-only
+otherwise (langid/perplexity UDFs are not SQL-expressible).
 """
 
 from __future__ import annotations
@@ -27,18 +28,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from fast_langdetect_spark.operators.langid import with_language
+    """Flagship: full pipeline over the synthetic corpus (sf0.001-ish size)."""
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from fast_langdetect_spark.sources.synth import corpus_df
 
-    docs = _docs(spark, "/root/testdata/sf0.001")
-    scored = with_language(docs, "text")
+    corpus = corpus_df(spark, 500, partitions=8)
+    out = run_pipeline(corpus, PipelineConfig(n_buckets=16, n_salts=4))
     return (
-        scored.groupBy("lang_top")
+        out.groupBy("lang_top", "keep")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("lang_score").alias("avg_score"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.avg("lang_score").alias("avg_lang_score"),
+            F.avg("perplexity").alias("avg_perplexity"),
         )
-        .orderBy(F.desc("n_docs"))
+        .orderBy(F.desc("n_files"), "lang_top", "keep")
     )
 
 
@@ -54,11 +57,123 @@ def _q_langid_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native heuristic quality metrics Q2–Q5 (oracle-checked)."""
+    from fast_langdetect_spark.operators.quality import quality_metric_columns
+
+    return _docs(spark, sf_dir).withColumns(quality_metric_columns("text")).select(
+        "doc_id",
+        "n_chars",
+        "n_lines",
+        "max_line_len",
+        "mean_line_len",
+        "alnum_ratio",
+        "alpha_token_frac",
+        "distinct_line_ratio",
+        "is_generated",
+        "has_toxicity",
+    )
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/secret scrub chain Q6 (oracle-checked)."""
+    from fast_langdetect_spark.operators.scrub import scrub_column
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        scrub_column(F.col("text")).alias("scrubbed_text"),
+        (scrub_column(F.col("text")) != F.col("text")).alias("scrubbed"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+
+
+def _q_rule_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible subset of the Q8 combiner: rule-only keep decision."""
+    from fast_langdetect_spark.operators.quality import quality_metric_columns
+
+    m = quality_metric_columns("text")
+    keep_rules = (
+        (m["max_line_len"] <= 1000)
+        & (m["mean_line_len"] <= 100.0)
+        & (m["alnum_ratio"] >= 0.25)
+        & (m["alpha_token_frac"] >= 0.25)
+        & ~((m["n_lines"] >= 20) & (m["distinct_line_ratio"] < 0.30))
+        & ~m["is_generated"]
+        & ~m["has_toxicity"]
+    )
+    return _docs(spark, sf_dir).select("doc_id", keep_rules.alias("keep_rules"))
+
+
+def _q_docstats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2-style metrics aggregation (oracle-checked)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline over the synthetic corpus (UDFs → rows-only check)."""
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from fast_langdetect_spark.sources.synth import corpus_df
+
+    out = run_pipeline(corpus_df(spark, 500, partitions=8), PipelineConfig(n_buckets=16))
+    return out.select(
+        "repo", "path", "commit", "lang_top", "keep",
+        F.array_join("drop_reasons", ",").alias("drop_reasons_csv"),
+        "scrubbed", "content_sha256",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "langid_top1": _q_langid_top1,
+        "quality_metrics": _q_quality_metrics,
+        "pii_scrub": _q_pii_scrub,
+        "rule_decision": _q_rule_decision,
+        "docstats_by_source": _q_docstats_by_source,
+        "pipeline_decisions": _q_pipeline_decisions,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {}
+    from fast_langdetect_spark.operators.quality import duckdb_metric_sql
+    from fast_langdetect_spark.operators.scrub import duckdb_scrub_sql
+
+    m = duckdb_metric_sql("text")
+    metric_cols = ", ".join(
+        f"{m[name]} AS {name}"
+        for name in (
+            "n_chars", "n_lines", "max_line_len", "mean_line_len", "alnum_ratio",
+            "alpha_token_frac", "distinct_line_ratio", "is_generated", "has_toxicity",
+        )
+    )
+    scrub = duckdb_scrub_sql("text")
+    keep_rules = (
+        f"({m['max_line_len']} <= 1000 AND {m['mean_line_len']} <= 100.0 "
+        f"AND {m['alnum_ratio']} >= 0.25 AND {m['alpha_token_frac']} >= 0.25 "
+        f"AND NOT ({m['n_lines']} >= 20 AND {m['distinct_line_ratio']} < 0.30) "
+        f"AND NOT {m['is_generated']} AND NOT {m['has_toxicity']})"
+    )
+    return {
+        "quality_metrics": f"SELECT doc_id, {metric_cols} FROM documents",
+        "pii_scrub": (
+            f"SELECT doc_id, {scrub} AS scrubbed_text, "
+            f"({scrub} <> text) AS scrubbed, "
+            f"sha256(text) AS content_sha256 FROM documents"
+        ),
+        "rule_decision": f"SELECT doc_id, {keep_rules} AS keep_rules FROM documents",
+        "docstats_by_source": (
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "AVG(n_chars) AS avg_chars, COUNT(DISTINCT lang) AS n_langs "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
+    }

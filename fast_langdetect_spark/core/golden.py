@@ -1,0 +1,100 @@
+"""Scalar golden implementation of the full keep/drop decision.
+
+This is the row-at-a-time 'reference labels' oracle the F1 ≥ 0.99 gate
+compares against (BASELINE.json:metric): language-ID through the parity
+``detect()`` path, perplexity through the same CharTrigramLM, and the quality
+rules as plain Python string ops with re.ASCII semantics (matching Java/RE2).
+The Spark pipeline must reproduce these decisions exactly; any divergence is
+a bug in the vectorized path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+from typing import List, Optional
+
+from ..operators.decision import REASON_ORDER, QualityConfig
+from ..operators.perplexity import DEFAULT_DOC_CAP, default_lm
+from ..operators.quality import RE_GENERATED, RE_HAS_ALPHA, RE_TOXIC
+from ..operators.scrub import scrub_text
+from .api import LangDetectConfig, LangDetector
+
+import regex  # supports \p{L}\p{N} like Java/RE2 (stdlib re does not)
+
+_TOKEN_SPLIT = re.compile("[ \t\r\n\f]+")
+_ALNUM_STRIP = regex.compile(r"[^\p{L}\p{N}]")
+_HAS_ALPHA = re.compile(RE_HAS_ALPHA)
+_GENERATED = re.compile(RE_GENERATED, re.ASCII)
+_TOXIC = re.compile(RE_TOXIC, re.ASCII)
+
+
+@dataclass
+class GoldenRow:
+    lang_top: Optional[str]
+    lang_score: Optional[float]
+    perplexity: float
+    keep: bool
+    drop_reasons: List[str]
+    scrubbed: Optional[bool]
+    scrubbed_content: Optional[str]
+    content_sha256: str
+
+
+class GoldenScorer:
+    """Row-at-a-time reference scorer."""
+
+    def __init__(self, cfg: QualityConfig | None = None):
+        self.cfg = cfg or QualityConfig()
+        self.detector = LangDetector(LangDetectConfig(model="lite"))
+        self.lm = default_lm()
+
+    def score(self, content: str) -> GoldenRow:
+        cfg = self.cfg
+        res = self.detector.detect(content, k=1)
+        lang_top = res[0]["lang"] if res else None
+        lang_score = res[0]["score"] if res else None
+        ppl = float(self.lm.perplexity([content], doc_cap=DEFAULT_DOC_CAP)[0])
+
+        lines = content.split("\n")
+        n_lines = len(lines)
+        max_line_len = max(len(ln) for ln in lines)
+        mean_line_len = (len(content) - n_lines + 1) / n_lines
+        alnum_ratio = len(_ALNUM_STRIP.sub("", content)) / max(len(content), 1)
+        tokens = [t for t in _TOKEN_SPLIT.split(content) if t]
+        alpha_frac = (
+            sum(1 for t in tokens if _HAS_ALPHA.search(t)) / max(len(tokens), 1)
+        )
+        distinct_ratio = len(set(lines)) / max(n_lines, 1)
+
+        conds = {
+            "low_lang_conf": (lang_score is None or lang_score < cfg.min_lang_score)
+            or (
+                cfg.allowed_langs is not None and lang_top not in cfg.allowed_langs
+            ),
+            "long_lines": max_line_len > cfg.max_line_len,
+            "long_mean_line": mean_line_len > cfg.max_mean_line_len,
+            "low_alnum": alnum_ratio < cfg.min_alnum_ratio,
+            "low_alpha": alpha_frac < cfg.min_alpha_token_frac,
+            "repetition": n_lines >= cfg.repetition_min_lines
+            and distinct_ratio < cfg.min_distinct_line_ratio,
+            "generated": bool(_GENERATED.search(content)),
+            "toxicity": bool(_TOXIC.search(content)),
+            "perplexity_high": ppl > cfg.max_perplexity,
+        }
+        reasons = [name for name in REASON_ORDER if conds[name]]
+        keep = not reasons
+        sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+        scrubbed_content = scrub_text(content) if keep else None
+        scrubbed = (scrubbed_content != content) if keep else None
+        return GoldenRow(
+            lang_top=lang_top,
+            lang_score=lang_score,
+            perplexity=ppl,
+            keep=keep,
+            drop_reasons=reasons,
+            scrubbed=scrubbed,
+            scrubbed_content=scrubbed_content,
+            content_sha256=sha,
+        )

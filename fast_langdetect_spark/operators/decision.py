@@ -1,0 +1,98 @@
+"""Keep/drop decision combiner (SURVEY §2.8 Q8) + sha256 invariant (P7).
+
+One native projection: ordered drop-reason array → keep boolean → gated
+scrub → sha256.  Everything here is Catalyst-codegen'd; the only upstream
+Python is the two pandas UDFs (langid, perplexity) whose output columns this
+consumes.  Reason order is FIXED (it is part of the output contract):
+
+    low_lang_conf, long_lines, long_mean_line, low_alnum, low_alpha,
+    repetition, generated, toxicity, perplexity_high
+
+sha256 invariant (north rule): ``content_sha256`` is computed on the ORIGINAL
+content; for kept rows whose scrub made no change, sha256(scrubbed_content)
+== content_sha256 (asserted in tests and checkable downstream).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .scrub import scrub_column
+
+
+@dataclass(frozen=True)
+class QualityConfig:
+    """Thresholds (defaults follow public Gopher/BigCode-style settings,
+    calibrated on the synthetic fixture corpus)."""
+
+    min_lang_score: float = 0.15
+    max_line_len: int = 1000
+    max_mean_line_len: float = 100.0
+    min_alnum_ratio: float = 0.25
+    min_alpha_token_frac: float = 0.25
+    min_distinct_line_ratio: float = 0.30
+    repetition_min_lines: int = 20
+    max_perplexity: float = 100.0
+    allowed_langs: Optional[List[str]] = None  # None → any language
+
+
+REASON_ORDER = [
+    "low_lang_conf",
+    "long_lines",
+    "long_mean_line",
+    "low_alnum",
+    "low_alpha",
+    "repetition",
+    "generated",
+    "toxicity",
+    "perplexity_high",
+]
+
+
+def reason_conditions(cfg: QualityConfig) -> dict[str, Column]:
+    """Reason → boolean Column, over the metric columns added by
+    quality.with_quality_metrics + langid + perplexity stages."""
+    lang_bad = F.col("lang_score") < F.lit(cfg.min_lang_score)
+    if cfg.allowed_langs is not None:
+        lang_bad = lang_bad | ~F.col("lang_top").isin(cfg.allowed_langs)
+    return {
+        "low_lang_conf": lang_bad,
+        "long_lines": F.col("max_line_len") > F.lit(cfg.max_line_len),
+        "long_mean_line": F.col("mean_line_len") > F.lit(cfg.max_mean_line_len),
+        "low_alnum": F.col("alnum_ratio") < F.lit(cfg.min_alnum_ratio),
+        "low_alpha": F.col("alpha_token_frac") < F.lit(cfg.min_alpha_token_frac),
+        "repetition": (F.col("n_lines") >= F.lit(cfg.repetition_min_lines))
+        & (F.col("distinct_line_ratio") < F.lit(cfg.min_distinct_line_ratio)),
+        "generated": F.col("is_generated"),
+        "toxicity": F.col("has_toxicity"),
+        "perplexity_high": F.col("perplexity") > F.lit(cfg.max_perplexity),
+    }
+
+
+def with_decision(
+    df: DataFrame, cfg: QualityConfig | None = None, text_col: str = "content"
+) -> DataFrame:
+    """Adds: drop_reasons (ordered array), keep, content_sha256,
+    scrubbed_content (NULL for dropped rows), scrubbed."""
+    cfg = cfg or QualityConfig()
+    conds = reason_conditions(cfg)
+    reasons = F.array_compact(
+        F.array(*[F.when(conds[name], F.lit(name)) for name in REASON_ORDER])
+    )
+    df = df.withColumn("drop_reasons", reasons)
+    df = df.withColumn("keep", F.size("drop_reasons") == 0)
+    df = df.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+    # scrub only kept rows — dropped rows never pay the regex chain
+    df = df.withColumn(
+        "scrubbed_content",
+        F.when(F.col("keep"), scrub_column(F.col(text_col))),
+    )
+    df = df.withColumn(
+        "scrubbed",
+        F.when(F.col("keep"), F.col("scrubbed_content") != F.col(text_col)),
+    )
+    return df

@@ -1,0 +1,166 @@
+"""KenLM-style character n-gram perplexity scoring (SURVEY §2.8 Q1).
+
+CCNet-style LM filtering (public pattern: Wenzek et al., arXiv:1911.00359)
+uses a KenLM model trained on a clean sample and drops documents whose
+perplexity is far above the corpus norm.  No kenlm wheel exists in this
+environment, so this is a from-scratch interpolated character trigram LM:
+
+    P(c | a, b) = λ3·P̂(c|a,b) + λ2·P̂(c|b) + λ1·P̂(c)     (add-α smoothed)
+
+over a 97-symbol alphabet (printable ASCII + whitespace class + OTHER).
+The trained model is a dense ``97³`` float32 table of log10 probabilities
+(~3.6 MB) — small enough to load once per executor worker and to score with
+pure vectorized gathers: a batch of documents becomes one flat int32 index
+array and one ``np.add.reduceat``.
+
+    ppl(doc) = 10^( − mean_i log10 P(c_i | c_{i−2}, c_{i−1}) )
+
+Training is deterministic: the default model trains on the synthetic
+corpus's "good" payloads (sources/synth.py) at first use and is cached
+per-process; a production deployment ships a pre-trained ``.npz`` via
+``spark-submit --files`` and points ``FLD_SPARK_LM_PATH`` at it.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+V = 97  # 95 printable ASCII + whitespace-class + OTHER
+_WS_ID = 95
+_OTHER_ID = 96
+
+_BYTE_TO_SYM = np.full(256, _OTHER_ID, dtype=np.int32)
+for b in range(32, 127):
+    _BYTE_TO_SYM[b] = b - 32
+for b in (9, 10, 13):  # tab, newline, CR fold into one whitespace symbol
+    _BYTE_TO_SYM[b] = _WS_ID
+
+DEFAULT_DOC_CAP = 8192  # chars scored per doc — bounds cost on huge files
+
+
+class CharTrigramLM:
+    """Dense log10-probability trigram table with vectorized batch scoring."""
+
+    def __init__(self, log10_table: np.ndarray, default_logp: float):
+        assert log10_table.shape == (V * V * V,)
+        self.table = log10_table.astype(np.float32)
+        self.default_logp = float(default_logp)
+
+    # ---------------------------------------------------------------- training
+
+    @classmethod
+    def train(
+        cls,
+        texts: Sequence[str],
+        alpha: float = 0.1,
+        lambdas: tuple = (0.1, 0.3, 0.6),
+    ) -> "CharTrigramLM":
+        uni = np.zeros(V, dtype=np.float64)
+        bi = np.zeros(V * V, dtype=np.float64)
+        tri = np.zeros(V * V * V, dtype=np.float64)
+        for text in texts:
+            ids = _BYTE_TO_SYM[np.frombuffer(text.encode("utf-8"), dtype=np.uint8)]
+            np.add.at(uni, ids, 1.0)
+            if ids.size >= 2:
+                np.add.at(bi, ids[:-1] * V + ids[1:], 1.0)
+            if ids.size >= 3:
+                np.add.at(tri, (ids[:-2] * V + ids[1:-1]) * V + ids[2:], 1.0)
+        n = max(uni.sum(), 1.0)
+        p_uni = (uni + alpha) / (n + alpha * V)
+        p_bi = (bi.reshape(V, V) + alpha) / (uni[:, None] + alpha * V)
+        p_tri = (tri.reshape(V * V, V) + alpha) / (bi[:, None] + alpha * V)
+        l1, l2, l3 = lambdas
+        # P(c|a,b): broadcast uni over all contexts, bi over the `b` context
+        mix = (
+            l3 * p_tri.reshape(V, V, V)
+            + l2 * p_bi[None, :, :]
+            + l1 * p_uni[None, None, :]
+        )
+        table = np.log10(mix).reshape(-1).astype(np.float32)
+        default_logp = float(np.log10(p_uni).mean())
+        return cls(table, default_logp)
+
+    # ------------------------------------------------------------------- io
+
+    def save(self, path) -> None:
+        np.savez_compressed(
+            path, table=self.table, default_logp=np.float64(self.default_logp)
+        )
+
+    @classmethod
+    def load(cls, path) -> "CharTrigramLM":
+        with np.load(path) as z:
+            return cls(z["table"], float(z["default_logp"]))
+
+    # -------------------------------------------------------------- scoring
+
+    def log10_scores(
+        self, texts: Sequence[Optional[str]], doc_cap: int = DEFAULT_DOC_CAP
+    ) -> np.ndarray:
+        """Mean log10 P per document (vectorized across the whole batch)."""
+        idx_parts: List[np.ndarray] = []
+        lens = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            if not text:
+                continue
+            raw = text[:doc_cap].encode("utf-8")
+            ids = _BYTE_TO_SYM[np.frombuffer(raw, dtype=np.uint8)]
+            if ids.size < 3:
+                continue
+            idx_parts.append((ids[:-2] * V + ids[1:-1]) * V + ids[2:])
+            lens[i] = ids.size - 2
+        out = np.full(len(texts), self.default_logp, dtype=np.float64)
+        if idx_parts:
+            flat = np.concatenate(idx_parts)
+            vals = self.table[flat].astype(np.float64)
+            scored = lens > 0
+            bounds = np.zeros(int(scored.sum()), dtype=np.int64)
+            np.cumsum(lens[scored][:-1], out=bounds[1:])
+            out[scored] = np.add.reduceat(vals, bounds) / lens[scored]
+        return out
+
+    def perplexity(
+        self, texts: Sequence[Optional[str]], doc_cap: int = DEFAULT_DOC_CAP
+    ) -> np.ndarray:
+        return np.power(10.0, -self.log10_scores(texts, doc_cap))
+
+
+_DEFAULT_LM: Optional[CharTrigramLM] = None
+
+
+def default_lm() -> CharTrigramLM:
+    """Per-process LM singleton: $FLD_SPARK_LM_PATH npz if set, else the
+    deterministic model trained on the synthetic 'good' sample."""
+    global _DEFAULT_LM
+    if _DEFAULT_LM is None:
+        path = os.environ.get("FLD_SPARK_LM_PATH")
+        if path and Path(path).exists():
+            _DEFAULT_LM = CharTrigramLM.load(path)
+        else:
+            from ..sources.synth import good_payload_texts
+
+            _DEFAULT_LM = CharTrigramLM.train(good_payload_texts())
+    return _DEFAULT_LM
+
+
+def perplexity_udf(lm_path: Optional[str] = None, doc_cap: int = DEFAULT_DOC_CAP):
+    """Iterator pandas UDF: content → double perplexity (LM loaded once per
+    Python worker, Arrow-batched scoring)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        if lm_path:
+            lm = CharTrigramLM.load(lm_path)
+        else:
+            lm = default_lm()
+        for s in batches:
+            ppl = lm.perplexity(s.tolist(), doc_cap=doc_cap)
+            yield pd.Series(ppl, index=s.index)
+
+    return _udf

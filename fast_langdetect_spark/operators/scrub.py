@@ -1,0 +1,77 @@
+"""Regex PII/secret scrubbing (SURVEY §2.8 Q6–Q7) — native regexp_replace.
+
+Ordered rewrite chain (email → IPv4 → AWS key → generic secret assignment),
+each a Catalyst ``regexp_replace`` so the scrub stays JVM-side and codegen'd.
+Patterns are RE2-compatible (no lookaround) so the DuckDB oracle applies the
+identical chain.  The scalar twin (``scrub_text``) backs the golden tests.
+
+At scale the scrub is gated behind the keep decision (see decision.py) so
+dropped rows never pay the regex cost.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (name, pattern, spark_replacement, duckdb_replacement)
+SCRUB_RULES: List[Tuple[str, str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+        "<EMAIL>",
+    ),
+    (
+        "ipv4",
+        r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+        "<IP>",
+        "<IP>",
+    ),
+    (
+        "aws_key",
+        r"\bAKIA[0-9A-Z]{16}\b",
+        "<SECRET>",
+        "<SECRET>",
+    ),
+    (
+        "secret_assign",
+        r'(?i)((?:api[_-]?key|api[_-]?token|secret|token|passwd|password)'
+        r'[A-Za-z0-9_]*\s*[:=]\s*)["\'][^"\']{8,}["\']',
+        '$1"<SECRET>"',
+        r'\1"<SECRET>"',
+    ),
+]
+
+
+def scrub_column(col: Column) -> Column:
+    """Chained native regexp_replace over all scrub rules."""
+    out = col
+    for _, pattern, repl, _ in SCRUB_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def scrub_text(text: str) -> str:
+    """Scalar twin of scrub_column (golden tests; Python re ≡ Java regex for
+    these patterns)."""
+    out = text
+    for _, pattern, repl, _ in SCRUB_RULES:
+        py_repl = repl.replace("$1", "\\1")
+        # re.ASCII: Python's \d/\b/\s are unicode-aware by default, Java's and
+        # RE2's are ASCII — pin Python to the same semantics
+        out = re.sub(pattern, py_repl, out, flags=re.ASCII)
+    return out
+
+
+def duckdb_scrub_sql(text_expr: str) -> str:
+    """DuckDB twin: nested regexp_replace(..., 'g') chain."""
+    expr = text_expr
+    for _, pattern, _, duck_repl in SCRUB_RULES:
+        sql_pattern = pattern.replace("'", "''")
+        sql_repl = duck_repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pattern}', '{sql_repl}', 'g')"
+    return expr

@@ -1,0 +1,122 @@
+"""End-to-end keep/drop pipeline plan (SURVEY §3.4, §4.3).
+
+Stage layout (one explicit shuffle, everything after is map-only):
+
+    read corpus
+      → part_bucket = pmod(hash(repo), B)       [north rule: repo-hash parts]
+      → salt        = pmod(hash(path), S) for mega-repos (skew split)
+      → repartition(part_bucket, salt)           ← the ONLY shuffle
+      → langid pandas UDF   (ArrowEvalPython, model singleton per worker)
+      → perplexity pandas UDF (same Arrow pass — the two UDFs are adjacent so
+        the plan crosses JVM↔Python once per stage pipeline)
+      → native quality metrics + decision combiner (WholeStageCodegen)
+      → write partitioned by part_bucket (see lineage.py for resume)
+
+Scale notes (designed for 10^12 files / 1000 executors):
+  * B is the unit of checkpointing AND write layout; size it so one bucket
+    ≈ one comfortable task (≈128–512 MB of content).  At 10^12 files that is
+    O(10^5–10^6) buckets — fine for both the lineage table and Parquet/Iceberg
+    partition counts.
+  * Mega-repo skew cannot be fixed by bucket count (same repo → same hash) —
+    the salt column subdivides only repos above `salt_threshold` rows, keyed
+    purely by hash(path): no pre-aggregation pass needed when
+    `salt_all=True` mode is used; the precise mode computes heavy repos with
+    one cheap count-distinct agg and broadcasts the set.
+  * The scoring pipeline holds no state: executor memory = Arrow batch +
+    3.2 MB model + 3.6 MB LM table, independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.decision import QualityConfig, with_decision
+from ..operators.langid import with_language
+from ..operators.perplexity import DEFAULT_DOC_CAP, perplexity_udf
+from ..operators.quality import with_quality_metrics
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    n_buckets: int = 64
+    n_salts: int = 8
+    salt_threshold: int = 100_000  # rows per repo before salting kicks in
+    salt_mode: str = "auto"  # 'auto' (count heavy repos) | 'all' | 'none'
+    model_path: Optional[str] = None
+    lm_path: Optional[str] = None
+    doc_cap: int = DEFAULT_DOC_CAP
+    quality: QualityConfig = QualityConfig()
+
+
+def with_partitioning(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Adds part_bucket (repo-hash) and salt columns per the skew policy."""
+    df = df.withColumn("part_bucket", F.pmod(F.hash("repo"), F.lit(cfg.n_buckets)))
+    if cfg.salt_mode == "none" or cfg.n_salts <= 1:
+        return df.withColumn("salt", F.lit(0))
+    if cfg.salt_mode == "all":
+        return df.withColumn("salt", F.pmod(F.hash("path"), F.lit(cfg.n_salts)))
+    # auto: one cheap aggregation finds heavy repos; the set is tiny (only
+    # repos with >threshold rows) so it broadcasts.
+    heavy = (
+        df.groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > cfg.salt_threshold)
+        .select("repo")
+    )
+    df = df.join(F.broadcast(heavy.withColumn("__heavy", F.lit(True))), "repo", "left")
+    df = df.withColumn(
+        "salt",
+        F.when(
+            F.col("__heavy").isNotNull(),
+            F.pmod(F.hash("path"), F.lit(cfg.n_salts)),
+        ).otherwise(F.lit(0)),
+    ).drop("__heavy")
+    return df
+
+
+def score_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """The map-only scoring chain: langid → perplexity → metrics → decision.
+
+    Input must have a `content` column; passes all other columns through.
+    """
+    cfg = cfg or PipelineConfig()
+    model_path = cfg.model_path
+    if model_path is None:
+        from ..resources import resolve_lite_model_path
+
+        model_path = str(resolve_lite_model_path())
+    df = with_language(df, "content", model_path)
+    ppl = perplexity_udf(cfg.lm_path, doc_cap=cfg.doc_cap)
+    df = df.withColumn("perplexity", ppl(F.col("content")))
+    df = with_quality_metrics(df, "content")
+    df = with_decision(df, cfg.quality, "content")
+    return df
+
+
+def run_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Partition-aware full pipeline: bucketing/salting + scoring."""
+    cfg = cfg or PipelineConfig()
+    df = with_partitioning(df, cfg)
+    df = df.repartition(F.col("part_bucket"), F.col("salt"))
+    return score_pipeline(df, cfg)
+
+
+RESULT_COLUMNS = [
+    "repo",
+    "path",
+    "commit",
+    "lang",
+    "part_bucket",
+    "lang_top",
+    "lang_score",
+    "perplexity",
+    "keep",
+    "drop_reasons",
+    "scrubbed",
+    "scrubbed_content",
+    "content_sha256",
+]
