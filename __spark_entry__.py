@@ -132,6 +132,95 @@ def _q_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via sha256 hash-groupBy (oracle-checked)."""
+    from fast_langdetect_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(
+        _docs(spark, sf_dir), text_col="text", id_cols=("doc_id",)
+    ).select("doc_id", "content_sha256", "is_duplicate")
+
+
+def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (oracle-checked)."""
+    from fast_langdetect_spark.operators.dedup import token_jaccard_pairs
+
+    out = token_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (UDF signatures → rows-only)."""
+    from fast_langdetect_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir).limit(300), threshold=0.5, n_perm=64, n_bands=16
+    )
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-banded near-dup pairs (UDF → rows-only)."""
+    from fast_langdetect_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir).limit(300), max_hamming=8)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over embeddings (oracle-checked; cosine
+    rounded to 4dp because engines accumulate floats in different orders)."""
+    from fast_langdetect_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+    return out.select(
+        "q_id", "c_id", F.round("cosine", 4).alias("cosine_r"), "rank"
+    )
+
+
+def _q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (UDF signatures → rows-only)."""
+    from fast_langdetect_spark.operators.similarity import srp_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    return srp_lsh_topk(emb, emb.where(F.col("vec_id") < 8), dim=dim, k=5)
+
+
+def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting / quality-stat columns (oracle-checked)."""
+    from fast_langdetect_spark.operators.textstats import textstat_columns
+
+    cols = textstat_columns("text")
+    return _docs(spark, sf_dir).withColumns(cols).select("doc_id", *cols.keys())
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 + winnowing-style shingle fingerprints (oracle-checked)."""
+    from fast_langdetect_spark.operators.textstats import fingerprint_columns
+
+    cols = fingerprint_columns("text")
+    return _docs(spark, sf_dir).withColumns(cols).select("doc_id", *cols.keys())
+
+
+def _q_script_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic script-based language class (oracle-checked)."""
+    from fast_langdetect_spark.operators.textstats import script_lang_guess
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", script_lang_guess("text").alias("script_lang")
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset feature extraction plumbing (mapInPandas → rows-only)."""
+    from fast_langdetect_spark.operators.multimodal import assets_df, extract_features
+
+    return extract_features(assets_df(spark, 200, partitions=8)).select(
+        "asset_id", "kind", "width", "height", "n_frames",
+        F.round("byte_entropy", 6).alias("byte_entropy_r"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "langid_top1": _q_langid_top1,
@@ -140,6 +229,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_decision": _q_rule_decision,
         "docstats_by_source": _q_docstats_by_source,
         "pipeline_decisions": _q_pipeline_decisions,
+        "exact_dups": _q_exact_dups,
+        "token_jaccard": _q_token_jaccard,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "ann_topk": _q_ann_topk,
+        "srp_ann": _q_srp_ann,
+        "textstats": _q_textstats,
+        "fingerprints": _q_fingerprints,
+        "script_lang": _q_script_lang,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -162,8 +261,54 @@ def oracle_sql() -> dict[str, str]:
         f"AND NOT ({m['n_lines']} >= 20 AND {m['distinct_line_ratio']} < 0.30) "
         f"AND NOT {m['is_generated']} AND NOT {m['has_toxicity']})"
     )
+    from fast_langdetect_spark.operators.dedup import duckdb_token_jaccard_sql
+    from fast_langdetect_spark.operators.similarity import duckdb_topk_sql
+    from fast_langdetect_spark.operators.textstats import (
+        duckdb_fingerprint_sql,
+        duckdb_textstat_sql,
+    )
+
+    ts = duckdb_textstat_sql("text")
+    ts_cols = ", ".join(f"{sql} AS {name}" for name, sql in ts.items())
+    fp = duckdb_fingerprint_sql("text")
+    fp_cols = ", ".join(f"{sql} AS {name}" for name, sql in fp.items())
+
+    def _cnt(pattern: str) -> str:
+        return f"len(regexp_extract_all(text, '{pattern}'))"
+
+    cjk, kana, hangul = _cnt(r"[\x{4E00}-\x{9FFF}]"), _cnt(r"[\x{3041}-\x{30FE}]"), _cnt(r"[\x{AC00}-\x{D7AF}]")
+    cyr, lat = _cnt(r"[\x{0400}-\x{04FF}]"), _cnt("[A-Za-z]")
+    total = f"greatest({cjk} + {kana} + {hangul} + {cyr} + {lat}, 1)"
+    script_case = (
+        f"CASE WHEN {kana} * 10 >= {total} THEN 'ja' "
+        f"WHEN {hangul} * 2 >= {total} THEN 'ko' "
+        f"WHEN {cjk} * 2 >= {total} THEN 'zh' "
+        f"WHEN {cyr} * 2 >= {total} THEN 'cyrillic' "
+        f"WHEN {lat} * 2 >= {total} THEN 'latin' "
+        f"ELSE 'other' END"
+    )
+
     return {
         "quality_metrics": f"SELECT doc_id, {metric_cols} FROM documents",
+        "exact_dups": (
+            "SELECT doc_id, sha256(text) AS content_sha256, "
+            "(ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) > 1) "
+            "AS is_duplicate FROM documents"
+        ),
+        "token_jaccard": (
+            "SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r FROM ("
+            + duckdb_token_jaccard_sql(threshold=0.8)
+            + ")"
+        ),
+        "ann_topk": (
+            # CAST: duckdb's cosine is FLOAT; round() on it yields float32
+            # artifacts (0.398499995) that hash-mismatch Spark's double
+            "SELECT q_id, c_id, round(CAST(cosine AS DOUBLE), 4) AS cosine_r, "
+            "rank FROM (" + duckdb_topk_sql(k=5, n_queries=8) + ")"
+        ),
+        "textstats": f"SELECT doc_id, {ts_cols} FROM documents",
+        "fingerprints": f"SELECT doc_id, {fp_cols} FROM documents",
+        "script_lang": f"SELECT doc_id, {script_case} AS script_lang FROM documents",
         "pii_scrub": (
             f"SELECT doc_id, {scrub} AS scrubbed_text, "
             f"({scrub} <> text) AS scrubbed, "

@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries:
+  * pipeline_200k — full quality-filter pipeline (langid UDF + perplexity UDF
+    + native rules + scrub + decision) over a pre-materialized 200k-file
+    synthetic source-code corpus (FIXTURES.md §5 bench scale).  The corpus
+    parquet is built once (untimed) under /tmp so the timed section measures
+    the pipeline, not generation.
+  * langid_docs — language-ID UDF over the sf documents table.
+  * quality_native — native rule metrics + rule-only decision (no UDF).
+  * scrub_docs — PII scrub chain + sha256 over documents.
+
+Extra keys (informational): files_per_sec for the pipeline, cpus, rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BENCH_CORPUS_ROWS = int(os.environ.get("FLD_BENCH_CORPUS_ROWS", "200000"))
+
+
+def _materialize_corpus(spark, n_rows: int) -> str:
+    """Build the bench corpus parquet once (deterministic, untimed)."""
+    path = f"/tmp/fld_bench_corpus_{n_rows}"
+    marker = Path(path) / "_SUCCESS"
+    if not marker.exists():
+        from fast_langdetect_spark.sources.synth import corpus_df
+
+        corpus_df(spark, n_rows).write.mode("overwrite").parquet(path)
+    return path
+
+
+def q_pipeline(spark, corpus_path: str):
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    df = spark.read.parquet(corpus_path)
+    out = run_pipeline(df, PipelineConfig(n_buckets=64, n_salts=8, salt_mode="all"))
+    # force full evaluation of every output column incl. scrubbed text
+    return out.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(F.length("scrubbed_content")).alias("scrub_chars"),
+        F.sum(F.length("content_sha256")).alias("sha_chars"),
+        F.sum("perplexity").alias("ppl_sum"),
+    ).collect()[0]
+
+
+def q_langid_docs(spark, sf_dir: str):
+    from fast_langdetect_spark.operators.langid import with_language
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_language(docs, "text")
+    return out.select(
+        F.count(F.lit(1)).alias("n"), F.sum("lang_score").alias("s")
+    ).collect()[0]
+
+
+def q_quality_native(spark, sf_dir: str):
+    from fast_langdetect_spark.operators.quality import quality_metric_columns
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.withColumns(quality_metric_columns("text"))
+    return out.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("max_line_len").alias("m"),
+        F.sum("alnum_ratio").alias("a"),
+        F.sum(F.col("is_generated").cast("long")).alias("g"),
+    ).collect()[0]
+
+
+def q_scrub_docs(spark, sf_dir: str):
+    from fast_langdetect_spark.operators.scrub import scrub_column
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length(scrub_column(F.col("text")))).alias("s"),
+        F.sum(F.length(F.sha2("text", 256))).alias("h"),
+    ).collect()[0]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from fast_langdetect_spark.session import build_session
+
+    spark = build_session(app_name="fld-bench", cpus=cpus, shuffle_partitions=cpus * 2)
+    corpus_path = _materialize_corpus(spark, BENCH_CORPUS_ROWS)
+
+    # warm the JVM + all python workers (model/LM load, numpy heap
+    # first-touch) outside the timed section — steady-state throughput is
+    # what matters for the 100 TB projection
+    q_langid_docs(spark, "/root/testdata/sf0.001")
+    q_pipeline(spark, corpus_path)
+
+    only = os.environ.get("FLD_BENCH_QUERIES")
+    selected = set(only.split(",")) if only else None
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    all_queries = [
+        ("pipeline_200k", lambda: q_pipeline(spark, corpus_path)),
+        ("langid_docs", lambda: q_langid_docs(spark, sf_dir)),
+        ("quality_native", lambda: q_quality_native(spark, sf_dir)),
+        ("scrub_docs", lambda: q_scrub_docs(spark, sf_dir)),
+    ]
+    for name, fn in all_queries:
+        if selected is not None and name not in selected:
+            continue
+        t0 = time.time()
+        res = fn()
+        timings[name] = round(time.time() - t0, 3)
+        rows[name] = res["n"]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "cpus": cpus,
+                "rows": rows,
+                "files_per_sec": (
+                    round(BENCH_CORPUS_ROWS / timings["pipeline_200k"], 1)
+                    if "pipeline_200k" in timings
+                    else None
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,58 @@ def compute_subword_hashes(word: bytes, minn: int, maxn: int, bucket: int) -> Li
     return out
 
 
+def fnv1a_batch(grams: List[bytes]) -> np.ndarray:
+    """Vectorized FNV-1a-32 (signed-char variant) over many byte strings.
+
+    Pads all inputs into one (N × W) uint8 matrix and runs the hash loop
+    column-wise — W iterations of whole-array ops instead of N×W Python
+    steps.  This is the cache-miss hot path of subword expansion.
+    """
+    n = len(grams)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(g) for g in grams), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    flat = np.frombuffer(b"".join(grams), dtype=np.uint8, count=total)
+    w = int(lens.max())
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cols = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    mat = np.zeros((n, w), dtype=np.uint8)
+    mat[rows, cols] = flat
+    h = np.full(n, 2166136261, dtype=np.uint32)
+    prime = np.uint32(16777619)
+    with np.errstate(over="ignore"):
+        for j in range(w):
+            col = mat[:, j]
+            v = col.astype(np.uint32)
+            v[col >= 128] |= np.uint32(0xFFFFFF00)
+            nh = (h ^ v) * prime
+            active = j < lens
+            h[active] = nh[active]
+    return h.astype(np.uint64)
+
+
+def _gen_ngram_slices(word: bytes, minn: int, maxn: int) -> List[bytes]:
+    """The ngram byte-slices of computeSubwords, without hashing."""
+    out: List[bytes] = []
+    nb = len(word)
+    for i in range(nb):
+        if (word[i] & 0xC0) == 0x80:
+            continue
+        j = i
+        n = 1
+        while j < nb and n <= maxn:
+            j += 1
+            while j < nb and (word[j] & 0xC0) == 0x80:
+                j += 1
+            if n >= minn and not (n == 1 and (i == 0 or j == nb)):
+                out.append(word[i:j])
+            n += 1
+    return out
+
+
 def _read_cstring(data: bytes, off: int) -> Tuple[bytes, int]:
     end = data.index(b"\x00", off)
     return data[off:end], end + 1
@@ -252,6 +304,16 @@ class FastTextModel:
         self._subword_cache: Dict[bytes, np.ndarray] = {}
         self._oov_cache_cap = 1 << 17
         self._label_prefix = LABEL_PREFIX
+        # pruned-bucket lookup table: hash → packed row (-1 = pruned away);
+        # 8 MB int32, replaces per-hash dict lookups with one fancy-index
+        if pruneidx:
+            lut = np.full(bucket, -1, dtype=np.int32)
+            keys = np.fromiter(pruneidx.keys(), dtype=np.int64, count=len(pruneidx))
+            vals = np.fromiter(pruneidx.values(), dtype=np.int64, count=len(pruneidx))
+            lut[keys] = vals.astype(np.int32)
+            self._prune_lut: Optional[np.ndarray] = lut
+        else:
+            self._prune_lut = None
 
     # ------------------------------------------------------------------ load
 
@@ -309,40 +371,58 @@ class FastTextModel:
 
     # ------------------------------------------------------------- tokenizing
 
-    def _map_hashes(self, hashes: List[int]) -> List[int]:
-        """Bucket hash → pruned input-matrix row (Dictionary::pushHash)."""
-        if self.pruneidx:
-            pr = self.pruneidx
-            return [self.nwords + pr[h] for h in hashes if h in pr]
-        return [self.nwords + h for h in hashes]
+    def _resolve_tokens(self, tokens: List[bytes]) -> None:
+        """Compute + cache input-row ids for uncached tokens, BATCHED.
 
-    def _token_ids(self, token: bytes) -> np.ndarray:
-        cached = self._subword_cache.get(token)
-        if cached is not None:
-            return cached
-        wid = self.vocab.get(token)
-        if wid is not None:
-            if wid >= self.nwords:  # in-vocab label token: not a word
-                ids = np.empty(0, dtype=np.int64)
-            elif token == EOS or self.maxn <= 0:
-                ids = np.asarray([wid], dtype=np.int64)
-            else:
-                hashes = compute_subword_hashes(
-                    BOW + token + EOW, self.minn, self.maxn, self.bucket
-                )
-                ids = np.asarray([wid] + self._map_hashes(hashes), dtype=np.int64)
+        One vectorized FNV pass over every ngram of every new token in the
+        batch, then one fancy-index through the prune LUT — the per-token
+        Python work is reduced to ngram slicing and array splits.
+        """
+        cache = self._subword_cache
+        if len(cache) >= self._oov_cache_cap:
+            cache.clear()
+        vocab = self.vocab
+        nwords = self.nwords
+        empty = np.empty(0, dtype=np.int64)
+        heads: List[int] = []  # -1 = no head word id
+        gram_counts: List[int] = []
+        grams: List[bytes] = []
+        resolved: List[bytes] = []
+        for token in tokens:
+            wid = vocab.get(token)
+            if wid is not None and wid >= nwords:  # in-vocab label entry
+                cache[token] = empty
+                continue
+            if wid is None and (token.startswith(self._label_prefix) or token == EOS):
+                cache[token] = empty
+                continue
+            if token == EOS or self.maxn <= 0:
+                if wid is not None:
+                    cache[token] = np.asarray([wid], dtype=np.int64)
+                else:
+                    cache[token] = empty
+                continue
+            g = _gen_ngram_slices(BOW + token + EOW, self.minn, self.maxn)
+            resolved.append(token)
+            heads.append(-1 if wid is None else wid)
+            gram_counts.append(len(g))
+            grams.extend(g)
+        if not resolved:
+            return
+        hashes = fnv1a_batch(grams) % np.uint64(self.bucket)
+        if self._prune_lut is not None:
+            mapped = self._prune_lut[hashes.astype(np.int64)].astype(np.int64)
         else:
-            if token.startswith(self._label_prefix) or token == EOS:
-                ids = np.empty(0, dtype=np.int64)
-            else:
-                hashes = compute_subword_hashes(
-                    BOW + token + EOW, self.minn, self.maxn, self.bucket
-                )
-                ids = np.asarray(self._map_hashes(hashes), dtype=np.int64)
-        if len(self._subword_cache) >= self._oov_cache_cap:
-            self._subword_cache.clear()
-        self._subword_cache[token] = ids
-        return ids
+            mapped = hashes.astype(np.int64)
+        rows = np.where(mapped >= 0, mapped + nwords, -1)
+        pos = 0
+        for token, head, cnt in zip(resolved, heads, gram_counts):
+            ids = rows[pos:pos + cnt]
+            pos += cnt
+            ids = ids[ids >= 0]
+            if head >= 0:
+                ids = np.concatenate(([head], ids))
+            cache[token] = ids.astype(np.int64)
 
     def line_ids(self, text: str) -> np.ndarray:
         """Input-matrix row ids for one line (Dictionary::getLine for predict).
@@ -353,10 +433,14 @@ class FastTextModel:
         if "\n" in text:
             raise ValueError("predict processes one line at a time (remove '\\n')")
         raw = text.encode("utf-8")
+        tokens = _split_whitespace(raw)
+        cache = self._subword_cache
+        missing = [t for t in tokens if t not in cache]
+        if missing:
+            self._resolve_tokens(list(dict.fromkeys(missing)))
         ids: List[np.ndarray] = []
-        tok_ids = self._token_ids
-        for token in _split_whitespace(raw):
-            arr = tok_ids(token)
+        for token in tokens:
+            arr = cache[token]
             if arr.size:
                 ids.append(arr)
         if self._eos_id is not None:
@@ -369,12 +453,39 @@ class FastTextModel:
 
     def _hidden_batch(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Mean-pooled hidden vectors for a batch; returns (hidden, valid)."""
-        id_arrays = [self.line_ids(t) for t in texts]
-        lens = np.asarray([a.size for a in id_arrays], dtype=np.int64)
+        cache = self._subword_cache
+        tok_lists: List[List[bytes]] = []
+        missing: Dict[bytes, None] = {}
+        for text in texts:
+            if "\n" in text:
+                raise ValueError(
+                    "predict processes one line at a time (remove '\\n')"
+                )
+            toks = _split_whitespace(text.encode("utf-8"))
+            tok_lists.append(toks)
+            for t in toks:
+                if t not in cache:
+                    missing[t] = None
+        if missing:
+            self._resolve_tokens(list(missing))
+        eos = (
+            np.asarray([self._eos_id], dtype=np.int64)
+            if self._eos_id is not None
+            else np.empty(0, dtype=np.int64)
+        )
+        id_arrays: List[np.ndarray] = []
+        lens = np.zeros(len(texts), dtype=np.int64)
+        for i, toks in enumerate(tok_lists):
+            parts = [cache[t] for t in toks if cache[t].size]
+            parts.append(eos)
+            arr = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            if arr.size:
+                id_arrays.append(arr)
+            lens[i] = arr.size
         valid = lens > 0
         hidden = np.zeros((len(texts), self.dim), dtype=np.float32)
         if valid.any():
-            flat = np.concatenate([a for a in id_arrays if a.size])
+            flat = np.concatenate(id_arrays)
             rows = self.input_matrix[flat]
             bounds = np.zeros(int(valid.sum()), dtype=np.int64)
             np.cumsum(lens[valid][:-1], out=bounds[1:])
@@ -390,10 +501,12 @@ class FastTextModel:
         (float32 accumulation order differs; agreement ~1e-6).
         """
         hidden, valid = self._hidden_batch(texts)
-        f = hidden @ self._wo.T  # (B, nlabels-1)
-        sig = 1.0 / (1.0 + np.exp(-f, dtype=np.float64))
-        lpos = np.log(sig + LOG_EPS)
-        lneg = np.log1p(-sig + LOG_EPS)
+        f = hidden @ self._wo.T  # (B, nlabels-1), float32 like fastText itself
+        eps = np.float32(LOG_EPS)
+        with np.errstate(over="ignore"):
+            sig = np.float32(1.0) / (np.float32(1.0) + np.exp(-f))
+        lpos = np.log(sig + eps)
+        lneg = np.log1p(eps - sig)
         tree = self._tree
         logp = lpos @ tree.pos_mask.T + lneg @ tree.neg_mask.T
         return logp, valid

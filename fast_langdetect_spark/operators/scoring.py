@@ -1,0 +1,113 @@
+"""Combined langid + perplexity scoring UDF — ONE JVM↔Python crossing.
+
+Profiling on this environment showed the Arrow round-trip of the `content`
+column costs more than the model math itself, so the pipeline's two pandas
+UDFs are fused into one that returns struct<lang, lang_score, perplexity>.
+The langid input is pre-shortened NATIVELY (newline→space + 80-char truncate
+— the first half of the reference's preprocessing, which is idempotent, so
+re-applying it inside the UDF preserves exact parity) and ships as a second
+tiny column; full content ships once for the perplexity scorer.
+
+Cost model at 10^12 files: Arrow bytes/row ≈ len(content) + 80·4 + few —
+the unavoidable minimum for any Python-scored pipeline; everything else
+(rules, scrub, sha, combiner) never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..core.preprocess import DEFAULT_MAX_INPUT_LENGTH, normalize_series, preprocess_series
+from .langid import _get_worker_model
+from .perplexity import DEFAULT_DOC_CAP, CharTrigramLM, default_lm
+
+
+def langid_short_col(text_col: str, max_input_length: int = DEFAULT_MAX_INPUT_LENGTH):
+    """Native pre-shortening: newline→space then code-point truncate.
+
+    Matches _preprocess_text (reference infer.py:234-243) exactly; both steps
+    are idempotent so the in-UDF parity preprocess is a no-op re-application.
+    """
+    return F.substring(
+        F.regexp_replace(F.col(text_col), "\n", " "), 1, max_input_length
+    )
+
+
+def combined_scores_udf(
+    model_path: str,
+    lm_path: Optional[str] = None,
+    *,
+    normalize: bool = True,
+    max_input_length: Optional[int] = DEFAULT_MAX_INPUT_LENGTH,
+    doc_cap: int = DEFAULT_DOC_CAP,
+):
+    """(short_text, content) → struct<lang:string, lang_score:float,
+    perplexity:double>, model + LM loaded once per worker."""
+
+    @pandas_udf("struct<lang:string, lang_score:float, perplexity:double>")
+    def _udf(
+        batches: Iterator[Tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        model = _get_worker_model(model_path)
+        lm = CharTrigramLM.load(lm_path) if lm_path else default_lm()
+        labels = np.asarray(model.labels_stripped, dtype=object)
+        for short, content in batches:
+            prepared = normalize_series(
+                preprocess_series(short, max_input_length), normalize
+            )
+            logp, valid = model.label_log_probs(prepared.tolist())
+            top = logp.argmax(axis=1)
+            score = np.exp(logp[np.arange(logp.shape[0]), top])
+            np.minimum(score, 1.0, out=score)
+            lang = labels[top]
+            lang[~valid] = None
+            ppl = lm.perplexity(content.tolist(), doc_cap=doc_cap)
+            out = pd.DataFrame(
+                {
+                    "lang": lang,
+                    "lang_score": pd.array(score.astype(np.float32), dtype="float32"),
+                    "perplexity": ppl,
+                }
+            )
+            out.loc[~valid, "lang_score"] = None
+            yield out
+
+    return _udf
+
+
+def with_scores(
+    df: DataFrame,
+    text_col: str = "content",
+    model_path: Optional[str] = None,
+    lm_path: Optional[str] = None,
+    *,
+    normalize: bool = True,
+    max_input_length: int = DEFAULT_MAX_INPUT_LENGTH,
+    doc_cap: int = DEFAULT_DOC_CAP,
+) -> DataFrame:
+    """Adds lang_top, lang_score, perplexity with a single Python crossing."""
+    if model_path is None:
+        from ..resources import resolve_lite_model_path
+
+        model_path = str(resolve_lite_model_path())
+    udf = combined_scores_udf(
+        model_path,
+        lm_path,
+        normalize=normalize,
+        max_input_length=max_input_length,
+        doc_cap=doc_cap,
+    )
+    short = langid_short_col(text_col, max_input_length)
+    return (
+        df.withColumn("__sc", udf(short, F.col(text_col)))
+        .withColumn("lang_top", F.col("__sc.lang"))
+        .withColumn("lang_score", F.col("__sc.lang_score"))
+        .withColumn("perplexity", F.col("__sc.perplexity"))
+        .drop("__sc")
+    )

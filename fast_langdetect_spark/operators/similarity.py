@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (public ANN patterns — brute-force rerank + SRP-LSH bucketing):
+
+  * brute_force_topk — exact cosine top-k: broadcast the (small) query set,
+    dot products via native zip_with/aggregate (stays in codegen), window
+    row_number ≤ k.  The correctness baseline; also the right plan whenever
+    |queries| is small — it is a single map-side pass over the corpus.
+  * srp_lsh_topk — signed-random-projection LSH: each vector gets an n-bit
+    signature (pandas UDF, one matmul per batch); candidates = same bucket
+    in ≥1 of the band tables; exact cosine rerank within candidates.  At
+    10^12 scale this bounds the join to bucket-collisions instead of |Q|×|C|.
+
+cosine/embedding near-dup pairs (dedup family #5) reuse brute_force_pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _cosine(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v)
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query (broadcast query side)."""
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    joined = c.crossJoin(F.broadcast(q)).where(F.col("q_id") != F.col("c_id"))
+    scored = joined.select(
+        "q_id", "c_id", _cosine("q_vec", "c_vec").alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def brute_force_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, for modest partitions;
+    the scale path routes candidates through srp signatures first)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _cosine("vec_a", "vec_b").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def duckdb_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_queries: int = 8,
+) -> str:
+    """DuckDB oracle for brute_force_topk with queries = first n ids."""
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS q_id, {vec_col} AS q_vec FROM {table}
+  WHERE {id_col} < {n_queries}
+), scored AS (
+  SELECT q.q_id, c.{id_col} AS c_id,
+         list_cosine_similarity(q.q_vec, c.{vec_col}) AS cosine
+  FROM q, {table} c
+  WHERE c.{id_col} <> q.q_id
+), ranked AS (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------------------------------ SRP-LSH
+
+
+def srp_signature_udf(dim: int, n_bits: int = 64, seed: int = 7):
+    """Signed-random-projection signature: sign(R·v) packed into a BIGINT."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_bits)).astype(np.float32)
+
+    @pandas_udf("long")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        weights = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
+        for s in batches:
+            mat = np.asarray(s.tolist(), dtype=np.float32)  # (B, dim)
+            bits = (mat @ planes) > 0  # (B, n_bits)
+            vals = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+            out = vals.astype(np.int64)  # two's-complement reinterpret
+            yield pd.Series(out, index=s.index)
+
+    return _udf
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 5,
+    n_bits: int = 64,
+    n_bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: SRP signatures → banded bucket join → exact rerank.
+
+    Recall is tunable via n_bands (more bands → more candidates).  Returns
+    the same schema as brute_force_topk; tests measure recall against it.
+    """
+    band_bits = n_bits // n_bands
+    udf = srp_signature_udf(dim, n_bits, seed)
+
+    def with_bands(df: DataFrame, prefix: str) -> DataFrame:
+        sigs = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            udf(F.col(vec_col)).alias("sig"),
+        )
+        return sigs.select(
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned("sig", i * band_bits)
+                            .bitwiseAND(F.lit((1 << band_bits) - 1))
+                            .alias("bval"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            f"{prefix}_id", f"{prefix}_vec",
+            F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"),
+        )
+
+    cb = with_bands(corpus, "c")
+    qb = with_bands(queries, "q")
+    cand = (
+        cb.join(qb, ["band", "bval"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cand.select("q_id", "c_id", _cosine("q_vec", "c_vec").alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )

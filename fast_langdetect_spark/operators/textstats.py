@@ -1,0 +1,151 @@
+"""Text-analysis operators (training-data pipeline extras): token counting,
+quality scoring, heuristic script-based language ID, document fingerprinting.
+
+All 100% native Catalyst expressions (no Python), each with a DuckDB-SQL twin
+for the driver's oracle checks.  These complement the model-based langid UDF:
+at 100 TB the cheap script heuristic runs first and the fastText UDF can be
+gated to the ambiguous subset (mixed/latin scripts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# GPT2-style BPE pre-tokenizer pattern, lookaround-free so Java regex (Spark)
+# and RE2 (DuckDB) agree.  Public pattern family (Radford et al. 2019).
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+# script-detection character classes (explicit ranges — identical in Java/RE2)
+RE_CJK = r"[\x{4E00}-\x{9FFF}]"
+RE_KANA = r"[\x{3041}-\x{30FE}]"
+RE_HANGUL = r"[\x{AC00}-\x{D7AF}]"
+RE_CYRILLIC = r"[\x{0400}-\x{04FF}]"
+RE_LATIN = "[A-Za-z]"
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for", "on", "with"]
+
+
+def _count(c: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def textstat_columns(text_col: str = "text") -> dict[str, Column]:
+    c = F.col(text_col)
+    ws_tokens = F.filter(F.split(c, "[ \t\r\n\f]+"), lambda x: x != F.lit(""))
+    n_ws = F.size(ws_tokens)
+    n_bpe = _count(c, BPE_TOKEN_RE)
+    n_punct = _count(c, r"[^\s\p{L}\p{N}]")
+    n_alpha = _count(c, r"[\p{L}]")
+    n_stop = F.size(
+        F.filter(ws_tokens, lambda x: F.lower(x).isin(_STOPWORDS))
+    )
+    length = F.greatest(F.length(c), F.lit(1)).cast("double")
+    return {
+        "n_ws_tokens": n_ws,
+        "n_bpe_tokens": n_bpe,
+        "punct_ratio": n_punct / length,
+        "alpha_ratio": n_alpha / length,
+        "stopword_ratio": n_stop / F.greatest(n_ws, F.lit(1)).cast("double"),
+        "mean_token_len": F.length(F.regexp_replace(c, "[ \t\r\n\f]", ""))
+        / F.greatest(n_ws, F.lit(1)).cast("double"),
+    }
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite [0,1] quality score from the stat columns (public-style
+    length/punct/stopword heuristic — a cheap pre-filter, not the decision)."""
+    s = textstat_columns(text_col)
+    len_score = F.least(F.length(F.col(text_col)) / F.lit(500.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(s["punct_ratio"] * 4.0, F.lit(1.0))
+    alpha_score = F.least(s["alpha_ratio"] * 1.5, F.lit(1.0))
+    stop_score = F.least(s["stopword_ratio"] * 5.0, F.lit(1.0))
+    return (
+        (len_score + punct_score + alpha_score + stop_score) / F.lit(4.0)
+    ).alias("quality_score")
+
+
+def script_lang_guess(text_col: str = "text") -> Column:
+    """Heuristic script-based language class: the dominant script family.
+
+    Cheap native pre-pass: cjk/kana/hangul/cyrillic/latin/other by counts.
+    (Kana outranks CJK when present: Japanese text mixes both scripts.)
+    """
+    c = F.col(text_col)
+    cjk = _count(c, RE_CJK)
+    kana = _count(c, RE_KANA)
+    hangul = _count(c, RE_HANGUL)
+    cyr = _count(c, RE_CYRILLIC)
+    lat = _count(c, RE_LATIN)
+    total = F.greatest(cjk + kana + hangul + cyr + lat, F.lit(1))
+    return (
+        F.when(kana * 10 >= total, F.lit("ja"))
+        .when(hangul * 2 >= total, F.lit("ko"))
+        .when(cjk * 2 >= total, F.lit("zh"))
+        .when(cyr * 2 >= total, F.lit("cyrillic"))
+        .when(lat * 2 >= total, F.lit("latin"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def fingerprint_columns(text_col: str = "text", shingle_lines: int = 3) -> dict[str, Column]:
+    """Document fingerprints: full-content md5 + winnowing-style min/max of
+    line-shingle md5s (rolling window of `shingle_lines` lines).
+
+    md5 (not xxhash64) so the DuckDB oracle computes identical values.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    n = F.size(lines)
+    k = F.lit(shingle_lines)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.md5(F.concat_ws("\n", F.slice(lines, i, k))),
+    )
+    return {
+        "fp_md5": F.md5(c),
+        "fp_shingle_min": F.array_min(shingle_hashes),
+        "fp_shingle_max": F.array_max(shingle_hashes),
+    }
+
+
+# ------------------------------------------------------------- DuckDB twins
+
+
+def duckdb_textstat_sql(t: str = "text") -> dict[str, str]:
+    ws = f"list_filter(regexp_split_to_array({t}, '[ \t\r\n\f]+'), x -> x <> '')"
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    bpe = BPE_TOKEN_RE.replace("'", "''")  # escape the leading quote for SQL
+    return {
+        "n_ws_tokens": f"len({ws})",
+        "n_bpe_tokens": f"len(regexp_extract_all({t}, '{bpe}'))",
+        "punct_ratio": (
+            f"len(regexp_extract_all({t}, '[^\\s\\p{{L}}\\p{{N}}]')) / "
+            f"CAST(greatest(length({t}), 1) AS DOUBLE)"
+        ),
+        "alpha_ratio": (
+            f"len(regexp_extract_all({t}, '[\\p{{L}}]')) / "
+            f"CAST(greatest(length({t}), 1) AS DOUBLE)"
+        ),
+        "stopword_ratio": (
+            f"len(list_filter({ws}, x -> lower(x) IN ({stop_list}))) / "
+            f"CAST(greatest(len({ws}), 1) AS DOUBLE)"
+        ),
+        "mean_token_len": (
+            f"length(regexp_replace({t}, '[ \t\r\n\f]', '', 'g')) / "
+            f"CAST(greatest(len({ws}), 1) AS DOUBLE)"
+        ),
+    }
+
+
+def duckdb_fingerprint_sql(t: str = "text", shingle_lines: int = 3) -> dict[str, str]:
+    lines = f"string_split({t}, chr(10))"
+    k = shingle_lines
+    shingles = (
+        f"list_transform(range(1, greatest(len({lines}) - {k} + 1, 1) + 1), "
+        f"i -> md5(array_to_string({lines}[i:i+{k}-1], chr(10))))"
+    )
+    return {
+        "fp_md5": f"md5({t})",
+        "fp_shingle_min": f"list_min({shingles})",
+        "fp_shingle_max": f"list_max({shingles})",
+    }

@@ -35,9 +35,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.decision import QualityConfig, with_decision
-from ..operators.langid import with_language
-from ..operators.perplexity import DEFAULT_DOC_CAP, perplexity_udf
+from ..operators.perplexity import DEFAULT_DOC_CAP
 from ..operators.quality import with_quality_metrics
+from ..operators.scoring import with_scores
 
 
 @dataclass(frozen=True)
@@ -84,14 +84,9 @@ def score_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFram
     Input must have a `content` column; passes all other columns through.
     """
     cfg = cfg or PipelineConfig()
-    model_path = cfg.model_path
-    if model_path is None:
-        from ..resources import resolve_lite_model_path
-
-        model_path = str(resolve_lite_model_path())
-    df = with_language(df, "content", model_path)
-    ppl = perplexity_udf(cfg.lm_path, doc_cap=cfg.doc_cap)
-    df = df.withColumn("perplexity", ppl(F.col("content")))
+    df = with_scores(
+        df, "content", cfg.model_path, cfg.lm_path, doc_cap=cfg.doc_cap
+    )
     df = with_quality_metrics(df, "content")
     df = with_decision(df, cfg.quality, "content")
     return df

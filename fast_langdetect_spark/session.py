@@ -27,6 +27,17 @@ def build_session(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # one BLAS thread per Python worker: with 32 workers per node, nested
+    # BLAS threading oversubscribes cores and thrashes; the UDF matmuls are
+    # small, parallelism comes from Spark tasks.  Must be set before the
+    # python workers fork (they inherit the driver/JVM environment).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+    # keep large numpy temps on the glibc heap (reused) instead of fresh
+    # mmaps: first-touch page faults on this kernel are ~100x the normal
+    # cost, so per-batch mmap/munmap of UDF temporaries dominates otherwise
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

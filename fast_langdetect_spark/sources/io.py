@@ -1,0 +1,53 @@
+"""Corpus I/O shim: Iceberg-style tables with a partitioned-Parquet fallback.
+
+The north rule targets Iceberg tables; no Iceberg runtime JAR is available
+offline, so table URIs resolve through this shim (SURVEY §7.1):
+
+  * ``table://db.name``  → ``spark.read.table("db.name")`` / ``writeTo`` —
+    used when a catalog (Iceberg or otherwise) is configured on the session.
+  * any other path        → Parquet directory with identical schema; writes
+    use dynamic partition overwrite so per-bucket rewrites are idempotent,
+    which is the property the Iceberg replaceWhere path provides natively.
+
+Every north-rule behavior (bucket layout, resume, lineage) works identically
+on both backends; plans/lineage.py documents the mapping.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_PREFIX = "table://"
+
+
+def read_corpus(spark: SparkSession, uri: str) -> DataFrame:
+    if uri.startswith(TABLE_PREFIX):
+        return spark.read.table(uri[len(TABLE_PREFIX):])
+    return spark.read.parquet(uri)
+
+
+def write_results(
+    df: DataFrame,
+    uri: str,
+    partition_by: Sequence[str] = ("part_bucket",),
+    mode: str = "overwrite",
+) -> None:
+    """Partition-grained idempotent write (dynamic overwrite semantics)."""
+    if uri.startswith(TABLE_PREFIX):
+        name = uri[len(TABLE_PREFIX):]
+        writer = df.writeTo(name)
+        if mode == "overwrite":
+            writer.overwritePartitions()
+        else:
+            writer.append()
+        return
+    df.write.mode(mode).partitionBy(*partition_by).parquet(uri)
+
+
+def append_lineage(df: DataFrame, uri: str) -> None:
+    if uri.startswith(TABLE_PREFIX):
+        df.writeTo(uri[len(TABLE_PREFIX):]).append()
+        return
+    df.write.mode("append").parquet(uri)

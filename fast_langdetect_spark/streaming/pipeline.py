@@ -1,0 +1,60 @@
+"""Structured Streaming variant of the quality-filter pipeline (SURVEY §2.10).
+
+The scoring chain is stateless map-only work, so it applies unchanged to a
+streaming DataFrame: ``readStream`` (file source over the corpus layout) →
+the SAME with_scores / metrics / decision transformations → ``writeStream``.
+Iterator pandas UDFs keep their per-worker model singleton across micro-
+batches, so the model loads once per worker for the stream's lifetime.
+
+No watermark/stateful operators are needed — the keep/drop decision is
+per-row.  The batch pipeline's bucket/lineage resume (plans/lineage.py) is
+the batch-side equivalent of checkpointing; the streaming side uses Spark's
+own checkpointLocation for exactly-once file-sink semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.pipeline import PipelineConfig, score_pipeline
+from ..sources.synth import CORPUS_SCHEMA
+
+
+def read_corpus_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str = CORPUS_SCHEMA,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def score_stream(stream_df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """The streaming scoring chain (identical semantics to the batch path)."""
+    return score_pipeline(stream_df, cfg or PipelineConfig())
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    source_path: str,
+    table_name: str = "scored_stream",
+    cfg: PipelineConfig | None = None,
+):
+    """Drain the source with availableNow into an in-memory sink (tests/demo);
+    production would writeStream.format('parquet') with a checkpointLocation."""
+    scored = score_stream(read_corpus_stream(spark, source_path), cfg)
+    query = (
+        scored.drop("content")
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(table_name)

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the quality-filter pipeline (SURVEY M4).
+
+Cluster launch (the north-rule deployment shape):
+
+    zip -r fld_spark.zip fast_langdetect_spark
+    spark-submit \\
+        --py-files fld_spark.zip \\
+        --files lid.176.ftz,char_lm.npz \\
+        jobs/run_pipeline.py \\
+        --input table://datalake.code_files \\
+        --output table://datalake.code_files_filtered \\
+        --lineage table://datalake.code_files_lineage \\
+        --buckets 262144 --salts 16
+
+Executors resolve the model via SparkFiles (resources.py); the run resumes
+from the lineage table automatically (left-anti join on committed buckets).
+In the sandbox the same job runs on local[N] with parquet paths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--lineage", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salts", type=int, default=8)
+    p.add_argument("--salt-mode", default="auto", choices=["auto", "all", "none"])
+    p.add_argument("--cpus", type=int, default=None, help="local[] size (sandbox)")
+    p.add_argument("--run-id", default=None)
+    args = p.parse_args()
+
+    from fast_langdetect_spark.plans.lineage import run_with_resume
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig
+    from fast_langdetect_spark.session import build_session
+    from fast_langdetect_spark.sources.io import read_corpus
+
+    spark = build_session(app_name="fld-pipeline", cpus=args.cpus)
+    cfg = PipelineConfig(
+        n_buckets=args.buckets, n_salts=args.salts, salt_mode=args.salt_mode
+    )
+    corpus = read_corpus(spark, args.input)
+    t0 = time.time()
+    result = run_with_resume(
+        spark, corpus, args.output, args.lineage, cfg, run_id=args.run_id
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": result.run_id,
+                "resumed": result.resumed,
+                "buckets_processed": len(result.buckets_processed),
+                "rows_processed": result.n_rows,
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE gate: efficiency ≥ 0.8).
+
+The north rule requires ≥0.8 throughput scaling efficiency between N and 4N
+executors; no real cluster exists in this sandbox, so (per the driver
+instruction) the SAME pipeline job runs at local[8] and local[32] on the
+SAME input and we report throughput at both:
+
+    efficiency = T(8) / (4 · T(32)) = throughput(32) / (4 · throughput(8))
+
+Each parallelism level runs in its own subprocess (fresh JVM) via bench.py
+restricted to the pipeline query; results are appended to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+LEVELS = (8, 32)
+
+
+def run_level(cpus: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["FLD_BENCH_QUERIES"] = "pipeline_200k"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    results = {cpus: run_level(cpus) for cpus in LEVELS}
+    n8, n32 = LEVELS
+    t8 = results[n8]["queries"]["pipeline_200k"]
+    t32 = results[n32]["queries"]["pipeline_200k"]
+    rows = results[n32]["rows"]["pipeline_200k"]
+    thr8 = rows / t8
+    thr32 = rows / t32
+    eff = thr32 / (4 * thr8)
+    summary = {
+        "metric": "scaling_efficiency_N_vs_4N",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "rows": rows,
+        "local8": {"wall_sec": t8, "files_per_sec": round(thr8, 1)},
+        "local32": {"wall_sec": t32, "files_per_sec": round(thr32, 1)},
+        "gate": ">=0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    md = (
+        f"\n## Scaling run {stamp}\n\n"
+        f"| parallelism | wall (s) | files/sec |\n|---|---|---|\n"
+        f"| local[{n8}] (N) | {t8} | {thr8:,.0f} |\n"
+        f"| local[{n32}] (4N) | {t32} | {thr32:,.0f} |\n\n"
+        f"**Scaling efficiency = T(N)/(4·T(4N)) = {eff:.3f}** "
+        f"(gate ≥ 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}) — "
+        f"{rows:,} files, full pipeline (langid+ppl UDF, rules, scrub, "
+        f"decision, bucketed repartition), same input both levels.\n"
+    )
+    with open(REPO / "BENCH.md", "a") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Dedup + similarity operator tests (exact, MinHash-LSH, SimHash, ANN)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark.operators.dedup import (
+    duckdb_token_jaccard_sql,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+    token_jaccard_pairs,
+)
+from fast_langdetect_spark.operators.similarity import (
+    brute_force_pairs,
+    brute_force_topk,
+    duckdb_topk_sql,
+    srp_lsh_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+NEAR_DUP_ROWS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river shore"),  # ~near 0
+    (2, "import numpy as np\ndef mean(x):\n    return np.sum(x) / len(x)"),
+    (3, "import numpy as np\ndef mean(v):\n    return np.sum(v) / len(v)"),  # ~near 2
+    (4, "completely unrelated text about cooking pasta with tomato sauce"),
+    (5, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def near_df(spark):
+    return spark.createDataFrame(NEAR_DUP_ROWS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, near_df):
+    marked = exact_duplicates(
+        near_df.withColumnsRenamed({"doc_id": "repo"}).withColumn("path", F.lit("p")),
+        text_col="text",
+    )
+    dups = {r["repo"] for r in marked.where("is_duplicate").collect()}
+    assert dups == {5}
+
+
+def test_exact_duplicates_on_synth(spark):
+    from fast_langdetect_spark.sources.synth import corpus_df
+
+    df = corpus_df(spark, 300)
+    marked = exact_duplicates(df, text_col="content")
+    n_dup = marked.where("is_duplicate").count()
+    assert n_dup > 0  # the {row}→0 band creates exact duplicates
+    reps = marked.where(~F.col("is_duplicate")).count()
+    distinct_contents = df.select("content").distinct().count()
+    assert reps == distinct_contents
+
+
+def test_token_jaccard_vs_duckdb(spark):
+    sdf = token_jaccard_pairs(
+        spark.read.parquet(f"{SF}/documents.parquet").limit(120),
+        threshold=0.5,
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in sdf.collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet' LIMIT 120"
+    )
+    want = {
+        (a, b): j
+        for a, b, j in con.execute(
+            duckdb_token_jaccard_sql(threshold=0.5)
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_minhash_lsh_finds_near_dups(spark, near_df):
+    pairs = minhash_lsh_pairs(
+        near_df, threshold=0.5, n_perm=128, n_bands=32, shingle_k=5
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 5) in found  # exact dup pair
+    assert (0, 1) in found  # near dup pair
+    assert (2, 3) in found
+    assert (0, 4) not in found and (2, 4) not in found
+
+
+def test_minhash_estimates_jaccard(spark, near_df):
+    pairs = minhash_lsh_pairs(near_df, threshold=0.1, n_perm=128, n_bands=64)
+    rows = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert rows[(0, 5)] == 1.0  # identical docs → identical signatures
+
+
+def test_simhash_near_pairs(spark, near_df):
+    # short fixture texts → noisy simhash; near-dups land at hamming 7–8,
+    # unrelated pairs at ~30 (verified offline), so the window is wide
+    pairs = simhash_near_pairs(near_df, max_hamming=10, shingle_k=4)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert found.get((0, 5)) == 0  # exact dup → identical simhash
+    assert (0, 1) in found
+    assert (2, 3) in found
+    assert (0, 4) not in found
+
+
+def test_brute_force_topk_vs_duckdb(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    sdf = brute_force_topk(emb, queries, k=5)
+    got = {(r["q_id"], r["rank"]): (r["c_id"], r["cosine"]) for r in sdf.collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    want = {
+        (q, rk): (c, cos)
+        for q, c, cos, rk in con.execute(duckdb_topk_sql(k=5, n_queries=8)).fetchall()
+    }
+    assert set(got) == set(want)
+    for key in got:
+        # engines accumulate cosine in different float orders: same neighbor
+        # required, value within 1e-5 (ties could legitimately reorder, which
+        # would surface as a c_id mismatch with near-equal cosines)
+        assert got[key][0] == want[key][0], (key, got[key], want[key])
+        assert abs(got[key][1] - want[key][1]) < 1e-5
+
+
+def test_srp_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(300)
+    queries = emb.where(F.col("vec_id") < 10)
+    dim = len(emb.select("embedding").first()[0])
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = srp_lsh_topk(emb, queries, dim=dim, k=5, n_bits=64, n_bands=16)
+    exact_set = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    approx_set = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"SRP-LSH recall too low: {recall}"
+
+
+def test_embedding_near_dup_pairs(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    pairs = brute_force_pairs(emb, threshold=0.99)
+    for r in pairs.collect():
+        assert r["cosine"] >= 0.99

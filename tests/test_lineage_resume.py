@@ -1,0 +1,92 @@
+"""Resume/exactly-once semantics (SURVEY §4.5, FIXTURES §5 resume fixture)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark.plans.lineage import run_with_resume, read_lineage
+from fast_langdetect_spark.plans.pipeline import PipelineConfig
+from fast_langdetect_spark.sources.synth import corpus_df
+
+N_ROWS = 300
+CFG = PipelineConfig(n_buckets=8, n_salts=2, salt_mode="all")
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return str(tmp_path / "results"), str(tmp_path / "lineage")
+
+
+def test_full_run_then_noop_resume(spark, paths):
+    out_path, lin_path = paths
+    corpus = corpus_df(spark, N_ROWS, partitions=4)
+
+    r1 = run_with_resume(spark, corpus, out_path, lin_path, CFG)
+    assert not r1.resumed
+    assert r1.n_rows == N_ROWS
+    assert len(r1.buckets_processed) == 8
+
+    # second run: everything committed → no rows reprocessed
+    r2 = run_with_resume(spark, corpus, out_path, lin_path, CFG)
+    assert r2.resumed
+    assert r2.n_rows == 0
+    assert r2.buckets_processed == []
+
+    total = spark.read.parquet(out_path).count()
+    assert total == N_ROWS
+
+
+def test_partial_resume_exactly_once(spark, paths):
+    out_path, lin_path = paths
+    corpus = corpus_df(spark, N_ROWS, partitions=4)
+    r1 = run_with_resume(spark, corpus, out_path, lin_path, CFG)
+    before = (
+        spark.read.parquet(out_path)
+        .select("repo", "path", "content_sha256")
+        .orderBy("repo", "path")
+        .collect()
+    )
+
+    # simulate a crash that lost 3 bucket commits: rewrite lineage without them
+    lin = spark.read.parquet(lin_path)
+    lost = [0, 3, 5]
+    kept_lineage = lin.where(~F.col("part_bucket").isin(lost)).collect()
+    shutil.rmtree(lin_path)
+    spark.createDataFrame(kept_lineage, lin.schema).write.parquet(lin_path)
+
+    r2 = run_with_resume(spark, corpus, out_path, lin_path, CFG)
+    assert r2.resumed
+    assert sorted(r2.buckets_processed) == lost
+    assert r2.n_rows > 0
+
+    after_df = spark.read.parquet(out_path)
+    assert after_df.count() == N_ROWS  # exactly-once: no dupes, no loss
+    after = (
+        after_df.select("repo", "path", "content_sha256")
+        .orderBy("repo", "path")
+        .collect()
+    )
+    assert after == before
+
+    # lineage now has exactly one 'done' row per bucket from the two runs
+    lin2 = read_lineage(spark, lin_path)
+    per_bucket = lin2.groupBy("part_bucket").count().collect()
+    assert len(per_bucket) == 8
+    assert all(r["count"] == 1 for r in per_bucket)
+
+
+def test_lineage_metrics_shape(spark, paths):
+    out_path, lin_path = paths
+    corpus = corpus_df(spark, N_ROWS, partitions=4)
+    run_with_resume(spark, corpus, out_path, lin_path, CFG)
+    lin = spark.read.parquet(lin_path)
+    rows = lin.collect()
+    assert sum(r["n_rows"] for r in rows) == N_ROWS
+    assert all(r["n_rows"] == r["n_kept"] + r["n_dropped"] for r in rows)
+    assert all(r["status"] == "done" for r in rows)
+    # reason histogram present for buckets that dropped anything
+    dropped = [r for r in rows if r["n_dropped"] > 0]
+    assert dropped
+    for r in dropped:
+        assert r["reason_counts"] and sum(r["reason_counts"].values()) >= r["n_dropped"]

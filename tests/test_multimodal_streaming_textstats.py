@@ -1,0 +1,150 @@
+"""Multimodal plumbing, streaming pipeline parity, textstats oracles."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+# ------------------------------------------------------------------ textstats
+
+
+def test_textstats_vs_duckdb(spark):
+    from fast_langdetect_spark.operators.textstats import (
+        duckdb_textstat_sql,
+        textstat_columns,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cols = textstat_columns("text")
+    sp = (
+        docs.withColumns(cols)
+        .select("doc_id", *cols.keys())
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    m = duckdb_textstat_sql("text")
+    sel = ", ".join(f"{sql} AS {name}" for name, sql in m.items())
+    duck = con.execute(
+        f"SELECT doc_id, {sel} FROM documents ORDER BY doc_id"
+    ).df()
+    for c in m:
+        a = sp[c].to_numpy().astype(float)
+        b = duck[c].to_numpy().astype(float)
+        assert np.allclose(a, b, atol=1e-12), c
+
+
+def test_fingerprints_vs_duckdb(spark):
+    from fast_langdetect_spark.operators.textstats import (
+        duckdb_fingerprint_sql,
+        fingerprint_columns,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    cols = fingerprint_columns("text")
+    sp = docs.withColumns(cols).select("doc_id", *cols.keys()).orderBy("doc_id").collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet' LIMIT 200"
+    )
+    m = duckdb_fingerprint_sql("text")
+    sel = ", ".join(f"{sql} AS {name}" for name, sql in m.items())
+    duck = con.execute(f"SELECT doc_id, {sel} FROM documents ORDER BY doc_id").fetchall()
+    for row, drow in zip(sp, duck):
+        assert row["fp_md5"] == drow[1]
+        assert row["fp_shingle_min"] == drow[2]
+        assert row["fp_shingle_max"] == drow[3]
+
+
+def test_script_lang_guess(spark):
+    from fast_langdetect_spark.operators.textstats import script_lang_guess
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello world this is english"),
+            (1, "你好世界这是中文的测试文本"),
+            (2, "こんにちは せかい ひらがな"),
+            (3, "안녕하세요 세계 한국어 텍스트"),
+            (4, "Привет мир русский текст"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["g"] for r in df.select("id", script_lang_guess("text").alias("g")).collect()}
+    assert got == {0: "latin", 1: "zh", 2: "ja", 3: "ko", 4: "cyrillic"}
+
+
+# ----------------------------------------------------------------- multimodal
+
+
+def test_asset_features(spark):
+    from fast_langdetect_spark.operators.multimodal import assets_df, extract_features
+
+    assets = assets_df(spark, 60, partitions=4)
+    feats = extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert len(r["histogram"]) == 256
+        assert 0.0 <= r["byte_entropy"] <= 8.0
+        assert r["width"] >= 8 and r["height"] >= 8
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_frame_sampling(spark):
+    from fast_langdetect_spark.operators.multimodal import assets_df, sample_frames
+
+    assets = assets_df(spark, 60, partitions=4)
+    frames = sample_frames(assets, every_k=2)
+    rows = frames.collect()
+    assert rows
+    for r in rows:
+        assert r["frame_idx"] % 2 == 0
+        assert len(r["frame"]) > 0
+
+
+def test_decode_stub_raises(spark):
+    from fast_langdetect_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_fake_decode_roundtrip():
+    from fast_langdetect_spark.operators.multimodal import fake_decode, synth_asset
+
+    aid, kind, data, meta = synth_asset(7)
+    dec = fake_decode(bytes(data))
+    assert dec["kind"] == kind
+    assert dec["width"] == meta["width"]
+    assert dec["payload"].size == meta["width"] * meta["height"] * meta["n_frames"]
+
+
+# ------------------------------------------------------------------ streaming
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig, score_pipeline
+    from fast_langdetect_spark.sources.synth import corpus_df
+    from fast_langdetect_spark.streaming.pipeline import run_stream_to_memory
+
+    src = str(tmp_path / "stream_src")
+    corpus = corpus_df(spark, 120, partitions=3)
+    corpus.write.parquet(src)
+
+    streamed = run_stream_to_memory(spark, src, table_name="scored_t1")
+    got = {
+        (r["repo"], r["path"]): (r["keep"], tuple(r["drop_reasons"]))
+        for r in streamed.collect()
+    }
+    batch = score_pipeline(spark.read.parquet(src), PipelineConfig())
+    want = {
+        (r["repo"], r["path"]): (r["keep"], tuple(r["drop_reasons"]))
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == 120
