@@ -211,6 +211,24 @@ def _q_script_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual script-run splitting + per-segment langid (UDF →
+    rows-only; covers the reference's split-lang-deferred behavior)."""
+    from fast_langdetect_spark.operators.multilingual import split_by_language_udf
+    from fast_langdetect_spark.resources import resolve_lite_model_path
+
+    udf = split_by_language_udf(str(resolve_lite_model_path()))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(udf(F.col("text"))).alias("seg"))
+        .select(
+            "doc_id",
+            F.col("seg.segment").alias("segment"),
+            F.col("seg.lang").alias("lang"),
+        )
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-asset feature extraction plumbing (mapInPandas → rows-only)."""
     from fast_langdetect_spark.operators.multimodal import assets_df, extract_features
@@ -239,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "script_lang": _q_script_lang,
         "multimodal_features": _q_multimodal_features,
+        "split_by_language": _q_split_by_language,
     }
 
 

@@ -6,7 +6,7 @@ and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Headline queries:
-  * pipeline_200k — full quality-filter pipeline (langid UDF + perplexity UDF
+  * pipeline_corpus — full quality-filter pipeline (langid UDF + perplexity UDF
     + native rules + scrub + decision) over a pre-materialized 200k-file
     synthetic source-code corpus (FIXTURES.md §5 bench scale).  The corpus
     parquet is built once (untimed) under /tmp so the timed section measures
@@ -31,7 +31,7 @@ sys.path.insert(0, str(REPO))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-BENCH_CORPUS_ROWS = int(os.environ.get("FLD_BENCH_CORPUS_ROWS", "200000"))
+BENCH_CORPUS_ROWS = int(os.environ.get("FLD_BENCH_CORPUS_ROWS", "500000"))
 
 
 def _materialize_corpus(spark, n_rows: int) -> str:
@@ -121,7 +121,7 @@ def main() -> None:
     rows: dict[str, int] = {}
 
     all_queries = [
-        ("pipeline_200k", lambda: q_pipeline(spark, corpus_path)),
+        ("pipeline_corpus", lambda: q_pipeline(spark, corpus_path)),
         ("langid_docs", lambda: q_langid_docs(spark, sf_dir)),
         ("quality_native", lambda: q_quality_native(spark, sf_dir)),
         ("scrub_docs", lambda: q_scrub_docs(spark, sf_dir)),
@@ -146,8 +146,8 @@ def main() -> None:
                 "cpus": cpus,
                 "rows": rows,
                 "files_per_sec": (
-                    round(BENCH_CORPUS_ROWS / timings["pipeline_200k"], 1)
-                    if "pipeline_200k" in timings
+                    round(BENCH_CORPUS_ROWS / timings["pipeline_corpus"], 1)
+                    if "pipeline_corpus" in timings
                     else None
                 ),
             }

@@ -22,5 +22,9 @@ from .core.api import (  # noqa: F401
     detect_language,
 )
 from .core.preprocess import is_japanese  # noqa: F401
+from .operators.multilingual import (  # noqa: F401
+    detect_multilingual,
+    split_by_language,
+)
 
 __version__ = "0.1.0"

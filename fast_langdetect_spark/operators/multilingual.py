@@ -1,0 +1,159 @@
+"""Multilingual detection + language-based text splitting.
+
+Covers the north-star's detect_multilingual()/text-splitting clause:
+
+  * ``detect_multilingual`` — the legacy fast-langdetect (<0.3) functional
+    API: top-k candidate list for a whole text (same result shape as
+    ``detect(k=...)``; the reference's current README defers splitting to the
+    split-lang project, /root/reference/README.md:104-107).
+  * ``split_by_language`` — split-lang-style segmentation: the text is first
+    cut into script runs (han / kana / hangul / cyrillic / latin / other;
+    digits, spaces and punctuation attach to the current run), each run is
+    classified with the fastText model, and adjacent runs with the same
+    predicted language merge.  Public algorithm pattern; from scratch.
+  * ``split_by_language_udf`` — the Arrow-batched Spark form returning
+    ``array<struct<segment:string, lang:string, score:float>>``; all
+    segments of a batch are classified in ONE predictor call (flattened →
+    scored → regrouped), so per-row Python work stays at segmentation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..core.preprocess import normalize_text, preprocess_text
+
+_NEUTRAL = 0
+_LATIN = 1
+_HAN = 2
+_KANA = 3
+_HANGUL = 4
+_CYRILLIC = 5
+_OTHER = 6
+
+
+def _script_class(ch: str) -> int:
+    o = ord(ch)
+    if 0x3040 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF or o == 0x30FC:
+        return _KANA
+    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF or 0xF900 <= o <= 0xFAFF:
+        return _HAN
+    if 0xAC00 <= o <= 0xD7AF or 0x1100 <= o <= 0x11FF:
+        return _HANGUL
+    if 0x0400 <= o <= 0x04FF or 0x0500 <= o <= 0x052F:
+        return _CYRILLIC
+    if ch.isalpha():
+        # every other alphabet (latin, accents, greek, arabic, …) forms one
+        # "alphabetic" run class — the model disambiguates those languages
+        return _LATIN
+    return _NEUTRAL  # digits, spaces, punctuation glue onto the current run
+
+
+def split_by_script(text: str) -> List[str]:
+    """Cut text into maximal same-script runs; neutral chars never split."""
+    segments: List[str] = []
+    cur: List[str] = []
+    cur_class = _NEUTRAL
+    for ch in text:
+        cls = _script_class(ch)
+        if cls == _NEUTRAL or cls == cur_class or cur_class == _NEUTRAL:
+            cur.append(ch)
+            if cls != _NEUTRAL:
+                cur_class = cls
+        else:
+            segments.append("".join(cur))
+            cur = [ch]
+            cur_class = cls
+    if cur:
+        segments.append("".join(cur))
+    return [s for s in segments if s.strip()]
+
+
+def _classify_segments(
+    segments: List[str], model, k: int = 1
+) -> List[Tuple[str, str, float]]:
+    if not segments:
+        return []
+    prepared = [
+        normalize_text(preprocess_text(s), True) for s in segments
+    ]
+    logp, valid = model.label_log_probs(prepared)
+    top = logp.argmax(axis=1)
+    scores = np.exp(logp[np.arange(logp.shape[0]), top])
+    np.minimum(scores, 1.0, out=scores)
+    out = []
+    for seg, ok, t, sc in zip(segments, valid, top, scores):
+        lang = model.labels_stripped[t] if ok else "en"
+        out.append((seg, lang, float(sc)))
+    return out
+
+
+def _merge_adjacent(
+    classified: List[Tuple[str, str, float]]
+) -> List[Tuple[str, str, float]]:
+    merged: List[Tuple[str, str, float]] = []
+    for seg, lang, score in classified:
+        if merged and merged[-1][1] == lang:
+            prev_seg, _, prev_score = merged[-1]
+            merged[-1] = (prev_seg + seg, lang, max(prev_score, score))
+        else:
+            merged.append((seg, lang, score))
+    return merged
+
+
+def split_by_language(text: str, model=None) -> List[dict]:
+    """Scalar API: [{'segment','lang','score'}, ...] in original order."""
+    if model is None:
+        from ..core.api import load_model_cached
+        from ..resources import resolve_lite_model_path
+
+        model = load_model_cached(resolve_lite_model_path())
+    classified = _merge_adjacent(_classify_segments(split_by_script(text), model))
+    return [
+        {"segment": seg, "lang": lang, "score": score}
+        for seg, lang, score in classified
+    ]
+
+
+def detect_multilingual(
+    text: str, *, low_memory: bool = True, k: int = 5, threshold: float = 0.0
+) -> List[dict]:
+    """Legacy functional API (fast-langdetect <0.3): top-k candidates for the
+    whole text, list of {'lang','score'} sorted by score desc."""
+    from ..core.api import detect
+
+    return detect(text, model="lite" if low_memory else "full", k=k, threshold=threshold)
+
+
+def split_by_language_udf(model_path: str):
+    """Arrow UDF: text → array<struct<segment,lang,score>>; one predictor
+    call per batch over the flattened segment list."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<segment:string, lang:string, score:float>>")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from .langid import _get_worker_model
+
+        model = _get_worker_model(model_path)
+        for s in batches:
+            seg_lists = [split_by_script(t or "") for t in s.fillna("")]
+            flat = [seg for segs in seg_lists for seg in segs]
+            classified = _classify_segments(flat, model)
+            out = []
+            pos = 0
+            for segs in seg_lists:
+                chunk = classified[pos:pos + len(segs)]
+                pos += len(segs)
+                merged = _merge_adjacent(chunk)
+                out.append(
+                    [
+                        {"segment": seg, "lang": lang, "score": score}
+                        for seg, lang, score in merged
+                    ]
+                )
+            yield pd.Series(out, index=s.index)
+
+    return _udf

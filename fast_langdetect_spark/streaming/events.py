@@ -1,0 +1,66 @@
+"""Watermarked streaming aggregation over the events stream (§2.10 extra).
+
+The quality-filter pipeline itself is stateless (no watermark needed), but a
+production ingestion layer tails an event stream of file-change notifications
+and rolls up per-window counts.  This module provides that shape over the
+driver testdata ``events`` table: event-time tumbling windows with a
+watermark for late data, plus the same aggregation in batch form so the
+streaming output is verifiable against a batch oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def windowed_event_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Tumbling-window per-type counts; watermark bounds state when streaming."""
+    if streaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def stream_event_counts_to_memory(
+    spark: SparkSession,
+    source_path: str,
+    table_name: str = "event_counts_stream",
+) -> DataFrame:
+    """File-source streaming run of the windowed aggregation (availableNow),
+    complete mode into a memory sink for verification."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_path)
+    agg = windowed_event_counts(stream, streaming=True)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)

@@ -1,0 +1,54 @@
+"""Multilingual split + legacy detect_multilingual API."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark import detect_multilingual, split_by_language
+from fast_langdetect_spark.operators.multilingual import (
+    split_by_language_udf,
+    split_by_script,
+)
+from fast_langdetect_spark.resources import resolve_lite_model_path
+
+MIXED = [
+    ("Hello 世界 こんにちは", ["en", "ja"]),
+    ("你好 world こんにちは", ["zh", "en", "ja"]),
+    ("Привет мир hello world 你好", ["ru", "en", "zh"]),
+]
+
+
+def test_split_by_script_basics():
+    assert split_by_script("12345 Hello 你好!") == ["12345 Hello ", "你好!"]
+    assert split_by_script("") == []
+    assert split_by_script("   ") == []
+    assert split_by_script("안녕 world") == ["안녕 ", "world"]
+
+
+@pytest.mark.parametrize("text,langs", MIXED)
+def test_split_by_language(text, langs):
+    segs = split_by_language(text)
+    assert [s["lang"] for s in segs] == langs
+    # segments reassemble to the original text
+    assert "".join(s["segment"] for s in segs) == text
+    assert all(0 < s["score"] <= 1.0 for s in segs)
+
+
+def test_detect_multilingual_legacy_api():
+    res = detect_multilingual("Hello 世界 こんにちは", k=3)
+    assert len(res) == 3
+    assert all(set(r) == {"lang", "score"} for r in res)
+    assert all(res[i]["score"] >= res[i + 1]["score"] for i in range(2))
+
+
+def test_split_udf_matches_scalar(spark):
+    texts = [t for t, _ in MIXED] + ["only english here", "", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    udf = split_by_language_udf(str(resolve_lite_model_path()))
+    rows = df.withColumn("segs", udf(F.col("text"))).orderBy("id").collect()
+    for row in rows:
+        local = split_by_language(texts[row["id"]] or "")
+        got = [(s["segment"], s["lang"]) for s in row["segs"]]
+        want = [(s["segment"], s["lang"]) for s in local]
+        assert got == want

@@ -1,0 +1,86 @@
+"""Hypothesis property tests (SURVEY §5.2 item 5) — no Spark session needed."""
+
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fast_langdetect_spark.core.preprocess import (
+    is_japanese,
+    normalize_text,
+    preprocess_text,
+)
+from fast_langdetect_spark.operators.scrub import SCRUB_RULES, scrub_text
+
+texts = st.text(max_size=400)
+line_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@given(line_texts)
+@settings(max_examples=200)
+def test_preprocess_idempotent(t):
+    once = preprocess_text(t)
+    assert preprocess_text(once) == once
+    assert len(once) <= 80
+    assert "\n" not in once
+
+
+@given(line_texts)
+@settings(max_examples=200)
+def test_normalize_idempotent(t):
+    once = normalize_text(t, True)
+    assert normalize_text(once, True) == once
+
+
+@given(line_texts)
+@settings(max_examples=200)
+def test_scrub_never_increases_pii_hits(t):
+    scrubbed = scrub_text(t)
+    for _, pattern, _, _ in SCRUB_RULES[:3]:  # plain-replacement rules
+        before = len(re.findall(pattern, t, flags=re.ASCII))
+        after = len(re.findall(pattern, scrubbed, flags=re.ASCII))
+        assert after <= before
+
+
+@given(line_texts)
+@settings(max_examples=100)
+def test_scrub_idempotent_on_plain_rules(t):
+    once = scrub_text(t)
+    assert scrub_text(once) == once
+
+
+@given(st.text(max_size=50))
+@settings(max_examples=200)
+def test_is_japanese_bounds(t):
+    expected = any(0x3040 < ord(ch) < 0x30FF for ch in t)
+    assert is_japanese(t) == expected
+
+
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_batch_equals_single_prediction(batch):
+    from fast_langdetect_spark.core.api import load_model_cached
+    from fast_langdetect_spark.resources import resolve_lite_model_path
+
+    model = load_model_cached(resolve_lite_model_path())
+    clean = [preprocess_text(t) for t in batch]
+    results = model.predict_batch(clean, k=2)
+    for text, (labels_b, scores_b) in zip(clean, results):
+        labels_s, scores_s = model.predict(text, k=2)
+        assert labels_b == list(labels_s)
+        assert np.allclose(scores_b, scores_s)
+
+
+@given(st.lists(st.text(max_size=200), min_size=1, max_size=10))
+@settings(max_examples=50, deadline=None)
+def test_perplexity_batch_equals_single(batch):
+    from fast_langdetect_spark.operators.perplexity import default_lm
+
+    lm = default_lm()
+    got = lm.perplexity(batch)
+    for i, t in enumerate(batch):
+        single = lm.perplexity([t])[0]
+        assert np.isclose(got[i], single), (t, got[i], single)

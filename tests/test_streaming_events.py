@@ -1,0 +1,33 @@
+"""Watermarked windowed aggregation: streaming ≡ batch on the events table."""
+
+import shutil
+from pathlib import Path
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    from fast_langdetect_spark.streaming.events import (
+        stream_event_counts_to_memory,
+        windowed_event_counts,
+    )
+
+    # stage the sf0.001 events parquet as a stream source dir
+    src = tmp_path / "events_src"
+    src.mkdir()
+    for f in Path("/root/testdata/sf0.001").glob("events.parquet"):
+        shutil.copy(f, src / "part-0.parquet")
+
+    batch = windowed_event_counts(
+        spark.read.parquet(str(src)), streaming=False
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+
+    streamed = stream_event_counts_to_memory(spark, str(src), "evt_t1")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in streamed.collect()
+    }
+    assert got == want
+    assert len(got) > 0
