@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# Build the spark-submit artifacts (SURVEY M4 packaging):
+#   dist/fld_spark.zip     — the package, for --py-files
+#   dist/lid.176.ftz       — the lite model, for --files (copied from
+#                            $FLD_SPARK_MODEL_PATH or the configured source)
+#   dist/char_lm.npz       — pre-trained perplexity table, for --files
+set -euo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p dist
+zip -qr dist/fld_spark.zip fast_langdetect_spark -x '*__pycache__*'
+python - <<'EOF'
+from fast_langdetect_spark.operators.perplexity import default_lm
+from fast_langdetect_spark.resources import resolve_lite_model_path
+import shutil
+default_lm().save("dist/char_lm.npz")
+shutil.copy(resolve_lite_model_path(), "dist/lid.176.ftz")
+print("dist/ ready: fld_spark.zip char_lm.npz lid.176.ftz")
+EOF
+cat <<'USAGE'
+Launch:
+  spark-submit \
+    --py-files dist/fld_spark.zip \
+    --files dist/lid.176.ftz,dist/char_lm.npz \
+    --conf spark.executorEnv.FLD_SPARK_LM_PATH=char_lm.npz \
+    jobs/run_pipeline.py --input table://lake.code_files \
+    --output table://lake.code_files_filtered \
+    --lineage table://lake.code_files_lineage --buckets 262144 --salts 16
+USAGE

@@ -1,0 +1,49 @@
+"""Partitioning/skew policy tests (SURVEY §4.3)."""
+
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark.plans.pipeline import PipelineConfig, with_partitioning
+from fast_langdetect_spark.sources.synth import corpus_df
+
+
+def test_salt_auto_targets_only_heavy_repos(spark):
+    df = corpus_df(spark, 1000, partitions=4)
+    cfg = PipelineConfig(n_buckets=16, n_salts=4, salt_mode="auto", salt_threshold=100)
+    out = with_partitioning(df, cfg)
+    per_repo = (
+        out.groupBy("repo")
+        .agg(
+            F.countDistinct("salt").alias("n_salts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in per_repo:
+        if r["repo"] == "org0/mega":
+            assert r["n"] > 100
+            assert r["n_salts"] > 1  # mega-repo actually subdivided
+        else:
+            assert r["n_salts"] == 1  # small repos untouched (salt 0)
+    # row count preserved through the broadcast-join salting pass
+    assert sum(r["n"] for r in per_repo) == 1000
+
+
+def test_salt_none_and_all_modes(spark):
+    df = corpus_df(spark, 200, partitions=2)
+    none = with_partitioning(df, PipelineConfig(salt_mode="none"))
+    assert none.select(F.countDistinct("salt")).first()[0] == 1
+    alls = with_partitioning(df, PipelineConfig(n_salts=4, salt_mode="all"))
+    assert alls.select(F.countDistinct("salt")).first()[0] > 1
+
+
+def test_bucket_assignment_stable_and_bounded(spark):
+    df = corpus_df(spark, 300, partitions=2)
+    cfg = PipelineConfig(n_buckets=8)
+    a = with_partitioning(df, cfg).select("repo", "path", "part_bucket")
+    b = with_partitioning(df, cfg).select("repo", "path", "part_bucket")
+    assert a.exceptAll(b).count() == 0  # deterministic
+    buckets = {r["part_bucket"] for r in a.select("part_bucket").distinct().collect()}
+    assert buckets <= set(range(8))
+    # same repo → same bucket (the property resume relies on)
+    per_repo = a.groupBy("repo").agg(F.countDistinct("part_bucket").alias("nb")).collect()
+    assert all(r["nb"] == 1 for r in per_repo)
