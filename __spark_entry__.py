@@ -112,7 +112,7 @@ def _q_docstats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.avg("n_chars").alias("avg_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
             F.countDistinct("lang").alias("n_langs"),
         )
         .orderBy("source")
@@ -186,6 +186,16 @@ def _q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_topk(emb, emb.where(F.col("vec_id") < 8), dim=dim, k=5)
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k (UDF → rows-only)."""
+    from fast_langdetect_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=5, n_clusters=8, n_probe=4
+    )
+
+
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / quality-stat columns (oracle-checked)."""
     from fast_langdetect_spark.operators.textstats import textstat_columns
@@ -253,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "ann_topk": _q_ann_topk,
         "srp_ann": _q_srp_ann,
+        "ivf_ann": _q_ivf_ann,
         "textstats": _q_textstats,
         "fingerprints": _q_fingerprints,
         "script_lang": _q_script_lang,
@@ -337,7 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "docstats_by_source": (
             "SELECT source, COUNT(*) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
-            "AVG(n_chars) AS avg_chars, COUNT(DISTINCT lang) AS n_langs "
+            "round(AVG(n_chars), 6) AS avg_chars, COUNT(DISTINCT lang) AS n_langs "
             "FROM documents GROUP BY source ORDER BY source"
         ),
     }

@@ -109,6 +109,101 @@ SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
+# --------------------------------------------------------------------- IVF
+
+
+def _spherical_kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
+                      seed: int = 11) -> np.ndarray:
+    """Tiny spherical k-means (public Lloyd's algorithm) for the IVF coarse
+    quantizer; runs driver-side on a bounded sample."""
+    rng = np.random.RandomState(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-9)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-9)
+    return cent.astype(np.float32)
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """vector → nearest-centroid id (one matmul per Arrow batch)."""
+
+    @pandas_udf("int")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cent = centroids
+        for s in batches:
+            mat = np.asarray(s.tolist(), dtype=np.float32)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
+            yield pd.Series((mat @ cent.T).argmax(axis=1), index=s.index)
+
+    return _udf
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 10_000,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer → probe the n_probe nearest
+    cells per query → exact cosine rerank inside the probed cells.
+
+    Scale shape: training samples a bounded set to the driver (one small
+    collect), centroids broadcast in the UDF closure; the search is an
+    equi-join on cluster id — candidates ≈ |corpus|·n_probe/n_clusters per
+    query instead of |corpus|.
+    """
+    sample_rows = (
+        corpus.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist()
+    )
+    cent = _spherical_kmeans(
+        np.asarray(sample_rows, dtype=np.float32), n_clusters, seed=seed
+    )
+    assign = ivf_assign_udf(cent)
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        assign(F.col(vec_col)).alias("cell"),
+    )
+
+    # queries probe their n_probe nearest cells
+    cent_list = cent.tolist()
+
+    @pandas_udf("array<int>")
+    def probe_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cmat = np.asarray(cent_list, dtype=np.float32)
+        for s in batches:
+            mat = np.asarray(s.tolist(), dtype=np.float32)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
+            sims = mat @ cmat.T
+            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            yield pd.Series([row.tolist() for row in order], index=s.index)
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+    cand = c.join(q, "cell").where(F.col("q_id") != F.col("c_id"))
+    scored = cand.select("q_id", "c_id", _cosine("q_vec", "c_vec").alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
 # ------------------------------------------------------------------ SRP-LSH
 
 

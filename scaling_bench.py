@@ -31,7 +31,21 @@ LEVELS = tuple(
 )
 
 
+def _wait_quiet(limit: float = 1.5, timeout: float = 300.0) -> float:
+    """Gate on the host's (co-tenant) load before each timed run."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        if load1 <= limit:
+            return load1
+        time.sleep(10)
+    return load1
+
+
 def run_level(cpus: int) -> dict:
+    _wait_quiet()
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["FLD_BENCH_QUERIES"] = "pipeline_corpus"

@@ -137,6 +137,23 @@ def test_srp_lsh_recall(spark):
     assert recall >= 0.5, f"SRP-LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall(spark):
+    from fast_langdetect_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=4)
+    exact_set = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    approx_set = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # probing ALL cells must reproduce the exact result
+    full = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=8)
+    full_set = {(r["q_id"], r["c_id"]) for r in full.collect()}
+    assert full_set == exact_set
+
+
 def test_embedding_near_dup_pairs(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
     pairs = brute_force_pairs(emb, threshold=0.99)
