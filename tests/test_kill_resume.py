@@ -1,0 +1,59 @@
+"""True crash-resume: SIGKILL the pipeline job mid-run, rerun, assert
+exactly-once output (FIXTURES.md §5 resume fixture, SURVEY §5.2 item 6)."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run_job(corpus, out, lineage, timeout=None, kill_after=None):
+    cmd = [
+        sys.executable, str(REPO / "jobs" / "run_pipeline.py"),
+        "--input", corpus, "--output", out, "--lineage", lineage,
+        "--cpus", "4", "--buckets", "12", "--salts", "2",
+    ]
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True, cwd=str(REPO), start_new_session=True,
+    )
+    if kill_after is not None:
+        time.sleep(kill_after)
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+        return None
+    out_text, _ = proc.communicate(timeout=timeout)
+    assert proc.returncode == 0, out_text
+    return out_text
+
+
+def test_sigkill_mid_run_then_resume(spark, tmp_path):
+    from fast_langdetect_spark.sources.synth import corpus_df
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+    n_rows = 4000
+    corpus_df(spark, n_rows, partitions=4).write.parquet(corpus)
+
+    # kill the job while it is scoring/writing (JVM spinup ~12s; the write
+    # lands after; 25s reliably interrupts mid-write on this host)
+    _run_job(corpus, out, lineage, kill_after=25)
+
+    # rerun to completion — must resume (or redo) idempotently
+    text = _run_job(corpus, out, lineage, timeout=600)
+    assert '"rows_processed"' in text
+
+    result = spark.read.parquet(out)
+    assert result.count() == n_rows
+    # every (repo,path) exactly once
+    dupes = result.groupBy("repo", "path", "commit").count().where("count > 1")
+    assert dupes.count() == 0
+    # lineage covers every bucket exactly once with consistent counts
+    lin = spark.read.parquet(lineage)
+    per_bucket = {r["part_bucket"]: r["n_rows"] for r in lin.collect()}
+    assert sum(per_bucket.values()) == n_rows

@@ -1,0 +1,40 @@
+"""QualityConfig knobs: allowed_langs, threshold overrides, reason ordering."""
+
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark.operators.decision import REASON_ORDER, QualityConfig
+from fast_langdetect_spark.plans.pipeline import PipelineConfig, score_pipeline
+from fast_langdetect_spark.sources.synth import corpus_df
+
+
+def test_allowed_langs_restriction(spark):
+    df = corpus_df(spark, 200, partitions=2)
+    cfg = PipelineConfig(quality=QualityConfig(allowed_langs=["en"]))
+    out = score_pipeline(df, cfg)
+    rows = out.select("lang_top", "keep", "drop_reasons").collect()
+    for r in rows:
+        if r["keep"]:
+            assert r["lang_top"] == "en"
+        elif r["lang_top"] != "en":
+            assert "low_lang_conf" in list(r["drop_reasons"])
+
+
+def test_threshold_overrides_flip_decisions(spark):
+    df = corpus_df(spark, 120, partitions=2)
+    lax = score_pipeline(df, PipelineConfig(quality=QualityConfig(
+        min_lang_score=0.0, max_line_len=10**9, max_mean_line_len=10**9,
+        min_alnum_ratio=0.0, min_alpha_token_frac=0.0,
+        min_distinct_line_ratio=0.0, max_perplexity=10**9,
+    )))
+    # with all rule thresholds disabled, only generated/toxicity can drop
+    for r in lax.select("keep", "drop_reasons").collect():
+        assert set(r["drop_reasons"]) <= {"generated", "toxicity"}
+
+
+def test_reason_order_is_stable(spark):
+    df = corpus_df(spark, 200, partitions=2)
+    out = score_pipeline(df, PipelineConfig())
+    order_index = {name: i for i, name in enumerate(REASON_ORDER)}
+    for r in out.select("drop_reasons").collect():
+        idxs = [order_index[x] for x in r["drop_reasons"]]
+        assert idxs == sorted(idxs)
