@@ -239,6 +239,23 @@ def _q_split_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window rollup (oracle-checked; exact distinct)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value", "n_users",
+        )
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-asset feature extraction plumbing (mapInPandas → rows-only)."""
     from fast_langdetect_spark.operators.multimodal import assets_df, extract_features
@@ -269,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_lang": _q_script_lang,
         "multimodal_features": _q_multimodal_features,
         "split_by_language": _q_split_by_language,
+        "windowed_events": _q_windowed_events,
     }
 
 
@@ -337,6 +355,13 @@ def oracle_sql() -> dict[str, str]:
             "rank FROM (" + duckdb_topk_sql(k=5, n_queries=8) + ")"
         ),
         "textstats": f"SELECT doc_id, {ts_cols} FROM documents",
+        "windowed_events": (
+            "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+            "event_type, COUNT(*) AS n_events, "
+            "round(SUM(value), 6) AS sum_value, "
+            "COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY 1, 2"
+        ),
         "fingerprints": f"SELECT doc_id, {fp_cols} FROM documents",
         "script_lang": f"SELECT doc_id, {script_case} AS script_lang FROM documents",
         "pii_scrub": (
