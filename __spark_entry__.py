@@ -204,6 +204,15 @@ def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).withColumns(cols).select("doc_id", *cols.keys())
 
 
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite [0,1] quality pre-filter score (oracle-checked)."""
+    from fast_langdetect_spark.operators.textstats import quality_score
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(quality_score("text"), 6).alias("q_score")
+    )
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 + winnowing-style shingle fingerprints (oracle-checked)."""
     from fast_langdetect_spark.operators.textstats import fingerprint_columns
@@ -282,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann": _q_srp_ann,
         "ivf_ann": _q_ivf_ann,
         "textstats": _q_textstats,
+        "quality_score": _q_quality_score,
         "fingerprints": _q_fingerprints,
         "script_lang": _q_script_lang,
         "multimodal_features": _q_multimodal_features,
@@ -355,6 +365,14 @@ def oracle_sql() -> dict[str, str]:
             "rank FROM (" + duckdb_topk_sql(k=5, n_queries=8) + ")"
         ),
         "textstats": f"SELECT doc_id, {ts_cols} FROM documents",
+        "quality_score": (
+            "SELECT doc_id, round(("
+            f"least(length(text)/500.0, 1.0) + "
+            f"(1.0 - least(({ts['punct_ratio']}) * 4.0, 1.0)) + "
+            f"least(({ts['alpha_ratio']}) * 1.5, 1.0) + "
+            f"least(({ts['stopword_ratio']}) * 5.0, 1.0)"
+            ") / 4.0, 6) AS q_score FROM documents"
+        ),
         "windowed_events": (
             "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
             "event_type, COUNT(*) AS n_events, "
