@@ -11,9 +11,20 @@ otherwise (langid/perplexity UDFs are not SQL-expressible).
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
+
+# Pin worker env BEFORE any SparkSession exists: python workers inherit the
+# JVM's environment, and this module is imported before the harness builds
+# its session.  Without these, 32 workers × multi-threaded BLAS thrash, and
+# this kernel's ~100×-cost first-touch page faults dominate UDF batches
+# (full analysis in fast_langdetect_spark/session.py and BENCH.md).
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -13,6 +13,17 @@ A from-scratch rebuild of the capabilities of LlmKira/fast-langdetect
                        lineage + resumable checkpointing
 """
 
+import os as _os
+
+# Worker-environment pinning must happen before numpy/BLAS spin up and
+# before any SparkSession forks python workers — importing the package is
+# the earliest reliable hook (harnesses may build their own sessions
+# without going through session.build_session). See session.py for why.
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_var, "1")
+_os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+_os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+
 from .core.api import (  # noqa: F401
     FastLangdetectError,
     LangDetectConfig,
