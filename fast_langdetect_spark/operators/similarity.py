@@ -71,14 +71,75 @@ def brute_force_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    exact: bool = False,
+    n_bits: int = 64,
+    n_bands: int = 8,
+    seed: int = 7,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, for modest partitions;
-    the scale path routes candidates through srp signatures first)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
+
+    DEFAULT (scale) path: SRP banded-LSH candidates → exact cosine rerank.
+    The candidate join is an equi-join on (band, band_value) — no
+    nested-loop/cartesian plan anywhere — with the same mega-bucket cap as
+    minhash LSH.  Recall at threshold 0.95 with 8 bands × 8 bits is ~99%
+    (P[bit match] = 1 − θ/π = 0.899 at cos 0.95 → miss = (1−0.899⁸)⁸ ≈ 1%).
+
+    ``exact=True`` keeps the all-pairs ``id_a < id_b`` form — a non-equi
+    nested-loop join, O(n²): tests and small inputs only.
+    """
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", _cosine("vec_a", "vec_b").alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+        )
+    dim = len(df.select(vec_col).first()[0])
+    band_bits = n_bits // n_bands
+    udf = srp_signature_udf(dim, n_bits, seed)
+    bands = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            udf(F.col(vec_col)).alias("sig"),
+        )
+        .select(
+            "id",
+            "vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned("sig", i * band_bits)
+                            .bitwiseAND(F.lit((1 << band_bits) - 1))
+                            .alias("bval"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("id", "vec", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    )
+    sizes = bands.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("bsz"))
+    bands = bands.join(sizes.where(F.col("bsz") <= max_bucket_size), ["band", "bval"])
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bval"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", _cosine("vec_a", "vec_b").alias("cosine"))
+        cand.select("id_a", "id_b", _cosine("vec_a", "vec_b").alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

@@ -31,6 +31,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.io import append_lineage, read_corpus, write_results
 from .pipeline import PipelineConfig, score_pipeline, with_partitioning
 
 LINEAGE_SCHEMA = (
@@ -49,7 +50,7 @@ class RunResult:
 
 def read_lineage(spark: SparkSession, lineage_path: str) -> Optional[DataFrame]:
     try:
-        return spark.read.parquet(lineage_path)
+        return read_corpus(spark, lineage_path)
     except Exception:  # first run: lineage table does not exist yet
         return None
 
@@ -113,21 +114,19 @@ def run_with_resume(
 
     t0 = time.time()
     scored = score_pipeline(pending, cfg)
-    (
-        scored.drop("content", "salt")
-        .write.mode("overwrite")
-        .partitionBy("part_bucket")
-        .parquet(output_path)
-    )
+    # write_results forces dynamic partition overwrite on the Parquet path
+    # (Iceberg path uses overwritePartitions) so resume on a session built
+    # WITHOUT build_session cannot wipe previously committed buckets.
+    write_results(scored.drop("content", "salt"), output_path)
     wall_ms = int((time.time() - t0) * 1000)
 
     # metrics from the written files — no UDF re-execution; anti-join keeps
     # this scalable when the done-set is large
-    written = spark.read.parquet(output_path)
+    written = read_corpus(spark, output_path)
     if done is not None:
         written = written.join(done, "part_bucket", "left_anti")
     metrics = _bucket_metrics(written, run_id, wall_ms)
-    metrics.write.mode("append").parquet(lineage_path)
+    append_lineage(metrics, lineage_path)
 
     processed = [r["part_bucket"] for r in metrics.select("part_bucket").collect()]
     n_rows = written.count()

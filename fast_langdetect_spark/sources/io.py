@@ -34,7 +34,17 @@ def write_results(
     partition_by: Sequence[str] = ("part_bucket",),
     mode: str = "overwrite",
 ) -> None:
-    """Partition-grained idempotent write (dynamic overwrite semantics)."""
+    """Partition-grained idempotent write (dynamic overwrite semantics).
+
+    The Parquet path FORCES ``spark.sql.sources.partitionOverwriteMode=
+    dynamic`` for the duration of the write (restoring the caller's value
+    after).  Spark's default is ``static``, under which ``mode("overwrite")``
+    deletes EVERY existing partition — on a resume run that would wipe
+    buckets already committed by earlier runs while lineage still marks them
+    done (permanent, silent data loss).  Sessions built by
+    ``session.build_session`` already set dynamic, but resume must hold on
+    any session (harness- or user-built).
+    """
     if uri.startswith(TABLE_PREFIX):
         name = uri[len(TABLE_PREFIX):]
         writer = df.writeTo(name)
@@ -43,7 +53,14 @@ def write_results(
         else:
             writer.append()
         return
-    df.write.mode(mode).partitionBy(*partition_by).parquet(uri)
+    conf = df.sparkSession.conf
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = conf.get(key, "static")
+    conf.set(key, "dynamic")
+    try:
+        df.write.mode(mode).partitionBy(*partition_by).parquet(uri)
+    finally:
+        conf.set(key, prev)
 
 
 def append_lineage(df: DataFrame, uri: str) -> None:

@@ -156,6 +156,76 @@ def test_ivf_topk_recall(spark):
 
 def test_embedding_near_dup_pairs(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
-    pairs = brute_force_pairs(emb, threshold=0.99)
+    pairs = brute_force_pairs(emb, threshold=0.99, exact=True)
     for r in pairs.collect():
         assert r["cosine"] >= 0.99
+
+
+def test_brute_force_pairs_default_is_equi_join(spark):
+    """VERDICT r01 #7: the default pair path must not plan a nested-loop /
+    cartesian join — candidates come from an SRP-band equi-join."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    approx = brute_force_pairs(emb, threshold=0.99)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # recall sanity: the LSH path finds what the exact path finds (cos≥0.99
+    # pairs are near-identical vectors → SRP signatures collide all bands)
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in brute_force_pairs(emb, threshold=0.99, exact=True).collect()
+    }
+    approx_pairs = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    assert approx_pairs <= set(
+        (a, b) for a, b in exact_pairs
+    ) or exact_pairs == set()  # no false positives (rerank is exact)
+    if exact_pairs:
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        assert recall >= 0.9, f"pair recall too low: {recall}"
+
+
+def test_token_jaccard_df_cap_bounds_pairs(spark):
+    """VERDICT r01 #6: stop tokens must not explode the self-join."""
+    # 60 docs all sharing 5 stop tokens; each doc also has a unique token
+    rows = [
+        (i, "the of and to in uniq%d" % i) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats: dict = {}
+    uncapped = token_jaccard_pairs(df, threshold=0.5, max_doc_freq=None)
+    # stop tokens make every pair jaccard 5/7 ≥ 0.5 → C(60,2) pairs
+    assert uncapped.count() == 60 * 59 // 2
+    capped = token_jaccard_pairs(
+        df, threshold=0.5, max_doc_freq=30, stats_out=stats
+    )
+    assert capped.count() == 0  # only the unique token survives the cap
+    assert stats["dropped_tokens"] == 5
+    assert stats["dropped_postings"] == 300
+
+
+def test_minhash_reports_dropped_buckets(spark):
+    """VERDICT r01 #8: mega-bucket drops must be reported, not silent."""
+    rows = [(i, "identical boilerplate text repeated everywhere") for i in range(30)]
+    rows += [(100, "one genuinely different document about rivers and forests")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats: dict = {}
+    pairs = minhash_lsh_pairs(
+        df, threshold=0.5, n_perm=64, n_bands=8, max_bucket_size=10,
+        stats_out=stats,
+    )
+    # all 30 identical docs share every band bucket → every bucket over cap
+    assert stats["dropped_buckets"] >= 8
+    assert stats["dropped_bucket_rows"] >= 30 * 8
+    assert pairs.count() == 0  # boilerplate cluster left to exact dedup
+
+
+def test_minhash_no_persist_leak(spark):
+    """Signatures cache must be released before minhash_lsh_pairs returns."""
+    df = spark.createDataFrame(NEAR_DUP_ROWS, "doc_id long, text string")
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    pairs = minhash_lsh_pairs(df, threshold=0.5, n_perm=64, n_bands=16)
+    pairs.count()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # the eager localCheckpoint RDD remains (it IS the result); the signature
+    # persist must be gone — allow exactly the checkpoint delta
+    assert after - before <= 1

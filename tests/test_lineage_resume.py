@@ -76,6 +76,54 @@ def test_partial_resume_exactly_once(spark, paths):
     assert all(r["count"] == 1 for r in per_bucket)
 
 
+def test_resume_safe_on_static_overwrite_session(spark, paths):
+    """Resume must not wipe committed buckets on a session that was NOT built
+    by build_session (Spark default partitionOverwriteMode=static).
+
+    VERDICT r01 #5 / ADVICE r01: run_with_resume previously relied on the
+    session-level dynamic mode; with static mode the overwrite deleted ALL
+    committed partitions while lineage still said done — permanent loss.
+    write_results now forces dynamic for the duration of the write.
+    """
+    out_path, lin_path = paths
+    corpus = corpus_df(spark, N_ROWS, partitions=4)
+    r1 = run_with_resume(spark, corpus, out_path, lin_path, CFG)
+    assert r1.n_rows == N_ROWS
+    before = (
+        spark.read.parquet(out_path)
+        .select("repo", "path", "content_sha256")
+        .orderBy("repo", "path")
+        .collect()
+    )
+
+    # drop two bucket commits, then resume under the WORST-CASE session conf
+    lin = spark.read.parquet(lin_path)
+    lost = [1, 6]
+    kept_lineage = lin.where(~F.col("part_bucket").isin(lost)).collect()
+    shutil.rmtree(lin_path)
+    spark.createDataFrame(kept_lineage, lin.schema).write.parquet(lin_path)
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "static")  # simulate a harness/user-built session
+    try:
+        r2 = run_with_resume(spark, corpus, out_path, lin_path, CFG)
+    finally:
+        spark.conf.set(key, prev)
+    assert sorted(r2.buckets_processed) == lost
+
+    after_df = spark.read.parquet(out_path)
+    assert after_df.count() == N_ROWS  # committed buckets survived
+    after = (
+        after_df.select("repo", "path", "content_sha256")
+        .orderBy("repo", "path")
+        .collect()
+    )
+    assert after == before
+    # the write did not permanently flip the caller's session conf
+    assert spark.conf.get(key) == prev
+
+
 def test_lineage_metrics_shape(spark, paths):
     out_path, lin_path = paths
     corpus = corpus_df(spark, N_ROWS, partitions=4)
