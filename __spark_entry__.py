@@ -60,11 +60,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_langid_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID UDF (not SQL-expressible → rows-only check)."""
+    """Language-ID UDF.  The predictor is a pure function of (text, model)
+    and batch-shape invariant (float64 logit chain), so the oracle is an
+    independent NO-SPARK recomputation over the same parquet, inlined as
+    VALUES — it verifies the distributed Arrow/preprocess/argmax plumbing
+    reproduces the local reference implementation bit-for-bit.  Scores are
+    compared as exact doubles (float32 → double is exact; no rounding)."""
     from fast_langdetect_spark.operators.langid import with_language
 
     return with_language(_docs(spark, sf_dir), "text").select(
-        "doc_id", "lang_top", "lang_score"
+        "doc_id", "lang_top", F.col("lang_score").cast("double").alias("lang_score")
     )
 
 
@@ -131,13 +136,32 @@ def _q_docstats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline over the synthetic corpus (UDFs → rows-only check)."""
+    """Full pipeline (partitioning → fused langid+ppl UDF → rules → decision)
+    over the documents table, projecting its SQL-expressible outputs
+    (keep_rules, content_sha256) so the END-TO-END pipeline path gets a
+    DuckDB oracle (VERDICT r01 #2a).  The UDF-gated columns (keep, lang_top)
+    are exercised by pipeline_full below (rows-only)."""
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").alias("content"),
+    )
+    out = run_pipeline(corpus, PipelineConfig(n_buckets=16))
+    return out.select("doc_id", "keep_rules", "content_sha256")
+
+
+def _q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline over the synthetic corpus, all output columns including
+    the UDF-derived ones (not SQL-expressible → rows-only check)."""
     from fast_langdetect_spark.plans.pipeline import PipelineConfig, run_pipeline
     from fast_langdetect_spark.sources.synth import corpus_df
 
     out = run_pipeline(corpus_df(spark, 500, partitions=8), PipelineConfig(n_buckets=16))
     return out.select(
-        "repo", "path", "commit", "lang_top", "keep",
+        "repo", "path", "commit", "lang_top", "keep", "keep_rules",
         F.array_join("drop_reasons", ",").alias("drop_reasons_csv"),
         "scrubbed", "content_sha256",
     )
@@ -161,19 +185,30 @@ def _q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (UDF signatures → rows-only)."""
+    """MinHash+LSH near-dup candidates.  Signatures are pure functions of
+    (text, seed); the oracle inlines them as a CTE and re-derives banding +
+    bucket cap + pairing + estimate in SQL (VERDICT r01 #2b).  doc_id < 300
+    (not limit) so the input subset is deterministic."""
     from fast_langdetect_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(
-        _docs(spark, sf_dir).limit(300), threshold=0.5, n_perm=64, n_bands=16
+    out = minhash_lsh_pairs(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 300),
+        threshold=0.5, n_perm=64, n_bands=16,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard_r")
     )
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-banded near-dup pairs (UDF → rows-only)."""
+    """SimHash hamming-banded near-dup pairs (oracle: inlined simhash CTE +
+    SQL chunking/pairing — VERDICT r01 #2b)."""
     from fast_langdetect_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir).limit(300), max_hamming=8)
+    out = simhash_near_pairs(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 300), max_hamming=8
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,21 +224,29 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-k (UDF signatures → rows-only)."""
+    """SRP-LSH approximate top-k (oracle: inlined signature CTE + SQL
+    banding/bucket-join/exact-rerank — VERDICT r01 #2c)."""
     from fast_langdetect_spark.operators.similarity import srp_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
-    return srp_lsh_topk(emb, emb.where(F.col("vec_id") < 8), dim=dim, k=5)
+    out = srp_lsh_topk(emb, emb.where(F.col("vec_id") < 8), dim=dim, k=5)
+    return out.select(
+        "q_id", "c_id", F.round("cosine", 4).alias("cosine_r"), "rank"
+    )
 
 
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means coarse quantizer) approximate top-k (UDF → rows-only)."""
+    """IVF (k-means coarse quantizer) approximate top-k (oracle: inlined
+    cell/probe CTEs + SQL cell-join/exact-rerank — VERDICT r01 #2c)."""
     from fast_langdetect_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(
+    out = ivf_topk(
         emb, emb.where(F.col("vec_id") < 8), k=5, n_clusters=8, n_probe=4
+    )
+    return out.select(
+        "q_id", "c_id", F.round("cosine", 4).alias("cosine_r"), "rank"
     )
 
 
@@ -242,8 +285,11 @@ def _q_script_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_split_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multilingual script-run splitting + per-segment langid (UDF →
-    rows-only; covers the reference's split-lang-deferred behavior)."""
+    """Multilingual script-run splitting + per-segment langid (covers the
+    reference's split-lang-deferred behavior).  Splitting and per-segment
+    classification are pure functions of (text, model) — the oracle is an
+    independent no-Spark recomputation inlined as VALUES; scores compared
+    as exact doubles (float32 → double is exact)."""
     from fast_langdetect_spark.operators.multilingual import split_by_language_udf
     from fast_langdetect_spark.resources import resolve_lite_model_path
 
@@ -255,6 +301,7 @@ def _q_split_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("seg.segment").alias("segment"),
             F.col("seg.lang").alias("lang"),
+            F.col("seg.score").cast("double").alias("score"),
         )
     )
 
@@ -277,12 +324,16 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-asset feature extraction plumbing (mapInPandas → rows-only)."""
+    """Binary-asset feature extraction plumbing (mapInPandas).  Assets are
+    a deterministic pure function of asset_id, so the oracle recomputes the
+    expected features locally (same synth/decode/feature code, no Spark)
+    and inlines them — verifying the distributed mapInPandas path end to
+    end.  Entropy compared as an exact double (identical computation both
+    sides; no rounding)."""
     from fast_langdetect_spark.operators.multimodal import assets_df, extract_features
 
     return extract_features(assets_df(spark, 200, partitions=8)).select(
-        "asset_id", "kind", "width", "height", "n_frames",
-        F.round("byte_entropy", 6).alias("byte_entropy_r"),
+        "asset_id", "kind", "width", "height", "n_frames", "byte_entropy",
     )
 
 
@@ -294,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_decision": _q_rule_decision,
         "docstats_by_source": _q_docstats_by_source,
         "pipeline_decisions": _q_pipeline_decisions,
+        "pipeline_full": _q_pipeline_full,
         "exact_dups": _q_exact_dups,
         "token_jaccard": _q_token_jaccard,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -309,6 +361,342 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_language": _q_split_by_language,
         "windowed_events": _q_windowed_events,
     }
+
+
+# --------------------------------------------------- signature-CTE oracles
+#
+# The minhash/simhash/SRP/IVF driver queries run pandas UDFs whose cores are
+# PURE functions of (input, fixed seed).  The driver compares oracles at
+# sf=0.01, so the builders below recompute those signatures independently
+# (numpy, no Spark) over the same parquet, inline them as VALUES CTEs, and
+# let DuckDB re-derive everything downstream of the UDF — banding, bucket
+# caps, candidate pairing, thresholds, exact rerank — in SQL.  That is the
+# strongest available check for non-SQL-expressible UDF cores (VERDICT r01
+# next-round #2).
+
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _oracle_docs(limit_id: int) -> list[tuple[int, str]]:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{_ORACLE_SF_DIR}/documents.parquet' "
+        f"WHERE doc_id < {limit_id} ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _oracle_embeddings() -> list[tuple[int, list]]:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{_ORACLE_SF_DIR}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _minhash_oracle_sql() -> str:
+    import numpy as np
+
+    from fast_langdetect_spark.operators.dedup import (
+        _perm_params,
+        minhash_signatures_np,
+    )
+
+    n_perm, n_bands, shingle_k, seed = 64, 16, 5, 42
+    rpb = n_perm // n_bands
+    docs = _oracle_docs(300)
+    a, b = _perm_params(n_perm, seed)
+    sigs = minhash_signatures_np([t or "" for _, t in docs], a, b, shingle_k)
+    vals = ",\n".join(
+        f"(CAST({doc_id} AS BIGINT), CAST([{','.join(map(str, sig))}] AS BIGINT[]))"
+        if i == 0
+        else f"({doc_id}, [{','.join(map(str, sig))}])"
+        for i, ((doc_id, _), sig) in enumerate(zip(docs, sigs))
+    )
+    return f"""
+WITH sigs(id, sig) AS (VALUES {vals}),
+bands AS (
+  SELECT id, band, sig[band*{rpb}+1 : band*{rpb}+{rpb}] AS bslice
+  FROM sigs, range(0, {n_bands}) t(band)
+),
+ok_buckets AS (
+  SELECT band, bslice FROM bands GROUP BY band, bslice HAVING COUNT(*) <= 200
+),
+kept AS (SELECT bands.* FROM bands JOIN ok_buckets USING (band, bslice)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kept a JOIN kept b USING (band, bslice)
+  WHERE a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(range(1, {n_perm + 1}),
+             i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+           / {float(n_perm)} AS est_jaccard
+  FROM cand
+  JOIN sigs sa ON sa.id = cand.id_a
+  JOIN sigs sb ON sb.id = cand.id_b
+)
+SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard_r
+FROM scored WHERE est_jaccard >= 0.5
+"""
+
+
+def _simhash_oracle_sql() -> str:
+    from fast_langdetect_spark.operators.dedup import simhash_np
+
+    max_hamming, shingle_k = 8, 4
+    n_chunks = max_hamming + 1          # 9 chunks of 7 bits (pigeonhole)
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    docs = _oracle_docs(300)
+    sims = simhash_np([t or "" for _, t in docs], shingle_k)
+    vals = ",\n".join(
+        f"(CAST({doc_id} AS BIGINT), CAST({int(sim)} AS BIGINT))"
+        if i == 0
+        else f"({doc_id}, {int(sim)})"
+        for i, ((doc_id, _), sim) in enumerate(zip(docs, sims))
+    )
+    # arithmetic >> then mask ≡ Spark's shiftrightunsigned + mask for these
+    # widths (sign-extension bits land above the mask)
+    return f"""
+WITH sims(id, sim) AS (VALUES {vals}),
+chunks AS (
+  SELECT id, sim, chunk, (sim >> (chunk * {chunk_bits})) & {mask} AS cval
+  FROM sims, range(0, {n_chunks}) t(chunk)
+),
+ok AS (SELECT chunk, cval FROM chunks GROUP BY chunk, cval HAVING COUNT(*) <= 500),
+kept AS (SELECT chunks.* FROM chunks JOIN ok USING (chunk, cval)),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.sim, b.sim)) AS hamming
+  FROM kept a JOIN kept b USING (chunk, cval)
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+def _ann_rerank_sql(cand_cte: str, k: int = 5) -> str:
+    """Shared exact-rerank tail: candidates (q_id, c_id) → cosine top-k."""
+    return f"""{cand_cte},
+scored AS (
+  SELECT q_id, c_id, list_cosine_similarity(qe.embedding, ce.embedding) AS cosine
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.q_id
+  JOIN embeddings ce ON ce.vec_id = cand.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, round(CAST(cosine AS DOUBLE), 4) AS cosine_r, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _srp_oracle_sql() -> str:
+    import numpy as np
+
+    from fast_langdetect_spark.operators.similarity import srp_signatures_np
+
+    n_bits, n_bands, seed = 64, 8, 7
+    band_bits = n_bits // n_bands
+    bmask = (1 << band_bits) - 1
+    rows = _oracle_embeddings()
+    mat = np.asarray([v for _, v in rows], dtype=np.float32)
+    sigs = srp_signatures_np(mat, n_bits, seed)
+    vals = ",\n".join(
+        f"(CAST({vid} AS BIGINT), CAST({int(sig)} AS BIGINT))"
+        if i == 0
+        else f"({vid}, {int(sig)})"
+        for i, ((vid, _), sig) in enumerate(zip(rows, sigs))
+    )
+    cand_cte = f"""
+WITH sigs(id, sig) AS (VALUES {vals}),
+bands AS (
+  SELECT id, band, (sig >> (band * {band_bits})) & {bmask} AS bval
+  FROM sigs, range(0, {n_bands}) t(band)
+),
+cand AS (
+  SELECT DISTINCT q.id AS q_id, c.id AS c_id
+  FROM bands q JOIN bands c USING (band, bval)
+  WHERE q.id < 8 AND q.id <> c.id
+)"""
+    return _ann_rerank_sql(cand_cte, k=5)
+
+
+def _ivf_oracle_sql() -> str:
+    import numpy as np
+
+    from fast_langdetect_spark.operators.similarity import (
+        _spherical_kmeans,
+        ivf_cells_np,
+        ivf_probes_np,
+    )
+
+    n_clusters, n_probe, train_sample, seed = 8, 4, 10_000, 11
+    rows = _oracle_embeddings()
+    mat = np.asarray([v for _, v in rows], dtype=np.float32)
+    cent = _spherical_kmeans(mat[:train_sample], n_clusters, seed=seed)
+    cells = ivf_cells_np(mat, cent)
+    ids = [vid for vid, _ in rows]
+    q_idx = [i for i, vid in enumerate(ids) if vid < 8]
+    probes = ivf_probes_np(mat[q_idx], cent, n_probe)
+    cell_vals = ",\n".join(
+        f"(CAST({vid} AS BIGINT), CAST({int(c)} AS INT))" if i == 0
+        else f"({vid}, {int(c)})"
+        for i, (vid, c) in enumerate(zip(ids, cells))
+    )
+    probe_vals = ",\n".join(
+        f"(CAST({ids[qi]} AS BIGINT), CAST({int(c)} AS INT))" if n == 0
+        else f"({ids[qi]}, {int(c)})"
+        for n, (qi, c) in enumerate(
+            (qi, c) for qi, prow in zip(q_idx, probes) for c in prow
+        )
+    )
+    cand_cte = f"""
+WITH cells(c_id, cell) AS (VALUES {cell_vals}),
+probes(q_id, cell) AS (VALUES {probe_vals}),
+cand AS (
+  SELECT q_id, c_id FROM probes JOIN cells USING (cell) WHERE c_id <> q_id
+)"""
+    return _ann_rerank_sql(cand_cte, k=5)
+
+
+def _langid_oracle_sql() -> str:
+    """Independent local recomputation of the langid UDF (no Spark): same
+    preprocess + model primitives, run driver-side over the same parquet.
+    Verifies the Arrow-batched distributed path ≡ the local reference."""
+    import numpy as np
+
+    from fast_langdetect_spark.core.api import load_model_cached
+    from fast_langdetect_spark.core.preprocess import (
+        DEFAULT_MAX_INPUT_LENGTH,
+        normalize_series,
+        preprocess_series,
+    )
+    from fast_langdetect_spark.resources import resolve_lite_model_path
+
+    import pandas as pd
+
+    docs = _oracle_docs(10**9)  # all rows
+    model = load_model_cached(resolve_lite_model_path())
+    labels = np.asarray(model.labels_stripped, dtype=object)
+    s = pd.Series([t for _, t in docs])
+    prepared = normalize_series(
+        preprocess_series(s, DEFAULT_MAX_INPUT_LENGTH), True
+    )
+    logp, valid = model.label_log_probs(prepared.tolist())
+    top = logp.argmax(axis=1)
+    score = np.exp(logp[np.arange(logp.shape[0]), top])
+    np.minimum(score, 1.0, out=score)
+    score32 = score.astype(np.float32)
+    rows = []
+    for i, (doc_id, _) in enumerate(docs):
+        if valid[i]:
+            # float32 → double is exact; scientific notation forces DuckDB
+            # to parse as DOUBLE (plain decimals become DECIMAL, losing a ulp)
+            lang_sql = f"'{labels[top[i]]}'"
+            score_sql = f"{float(score32[i]):.17e}"
+        else:
+            lang_sql, score_sql = "NULL", "NULL"
+        if i == 0:  # pin VALUES column types on the first row
+            rows.append(
+                f"(CAST({doc_id} AS BIGINT), CAST({lang_sql} AS VARCHAR), "
+                f"CAST({score_sql} AS DOUBLE))"
+            )
+        else:
+            rows.append(f"({doc_id}, {lang_sql}, {score_sql})")
+    vals = ",\n".join(rows)
+    return (
+        "SELECT doc_id, lang_top, lang_score FROM (VALUES\n"
+        + vals
+        + "\n) t(doc_id, lang_top, lang_score)"
+    )
+
+
+def _split_lang_oracle_sql() -> str:
+    """Independent local recomputation of split_by_language (no Spark):
+    same script-run splitter + predictor + merge, run driver-side."""
+    import numpy as np
+
+    from fast_langdetect_spark.core.api import load_model_cached
+    from fast_langdetect_spark.operators.multilingual import (
+        _classify_segments,
+        _merge_adjacent,
+        split_by_script,
+    )
+    from fast_langdetect_spark.resources import resolve_lite_model_path
+
+    docs = _oracle_docs(10**9)
+    model = load_model_cached(resolve_lite_model_path())
+    rows = []
+    for doc_id, text in docs:
+        merged = _merge_adjacent(_classify_segments(split_by_script(text or ""), model))
+        for seg, lang, score in merged:
+            seg_sql = seg.replace("'", "''")
+            # the Spark struct field is float32; mirror the cast, then emit
+            # the exact double
+            score_sql = f"{float(np.float32(score)):.17e}"
+            if not rows:  # pin VALUES column types on the first row
+                rows.append(
+                    f"(CAST({doc_id} AS BIGINT), CAST('{seg_sql}' AS VARCHAR), "
+                    f"CAST('{lang}' AS VARCHAR), CAST({score_sql} AS DOUBLE))"
+                )
+            else:
+                rows.append(f"({doc_id}, '{seg_sql}', '{lang}', {score_sql})")
+    vals = ",\n".join(rows)
+    return (
+        "SELECT doc_id, segment, lang, score FROM (VALUES\n"
+        + vals
+        + "\n) t(doc_id, segment, lang, score)"
+    )
+
+
+def _multimodal_oracle_sql() -> str:
+    """Independent local recomputation of the multimodal features (the asset
+    is a pure function of asset_id; same synth/decode/feature code, no
+    Spark).  Verifies the mapInPandas plumbing end to end."""
+    import numpy as np
+
+    from fast_langdetect_spark.operators.multimodal import fake_decode, synth_asset
+
+    rows = []
+    for aid in range(200):
+        _, kind, data, _ = synth_asset(aid)
+        dec = fake_decode(bytes(data))
+        payload = dec["payload"]
+        counts = np.bincount(payload, minlength=256).astype(np.float64)
+        probs = counts / max(payload.size, 1)
+        nz = probs[probs > 0]
+        entropy = float(-(nz * np.log2(nz)).sum())
+        if aid == 0:  # pin VALUES column types on the first row
+            rows.append(
+                f"(CAST({aid} AS BIGINT), CAST('{kind}' AS VARCHAR), "
+                f"CAST({dec['width']} AS INT), CAST({dec['height']} AS INT), "
+                f"CAST({dec['n_frames']} AS INT), CAST({entropy:.17e} AS DOUBLE))"
+            )
+        else:
+            rows.append(
+                f"({aid}, '{kind}', {dec['width']}, {dec['height']}, "
+                f"{dec['n_frames']}, {entropy:.17e})"
+            )
+    vals = ",\n".join(rows)
+    return (
+        "SELECT asset_id, kind, width, height, n_frames, byte_entropy "
+        "FROM (VALUES\n" + vals
+        + "\n) t(asset_id, kind, width, height, n_frames, byte_entropy)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -357,7 +745,7 @@ def oracle_sql() -> dict[str, str]:
         f"ELSE 'other' END"
     )
 
-    return {
+    base = {
         "quality_metrics": f"SELECT doc_id, {metric_cols} FROM documents",
         "exact_dups": (
             "SELECT doc_id, sha256(text) AS content_sha256, "
@@ -405,4 +793,34 @@ def oracle_sql() -> dict[str, str]:
             "round(AVG(n_chars), 6) AS avg_chars, COUNT(DISTINCT lang) AS n_langs "
             "FROM documents GROUP BY source ORDER BY source"
         ),
+        # the pipeline's SQL-expressible outputs, re-derived from the raw
+        # table: verifies partitioning/UDF/decision plumbing preserves rows
+        # and computes rules + sha over the exact original text
+        "pipeline_decisions": (
+            f"SELECT doc_id, {keep_rules} AS keep_rules, "
+            "sha256(text) AS content_sha256 FROM documents"
+        ),
     }
+    base.update(_signature_cte_oracles())
+    return base
+
+
+def _signature_cte_oracles() -> dict[str, str]:
+    """Oracles whose SQL embeds independently-precomputed UDF outputs (pure
+    deterministic functions) as CTEs; built lazily because they read the
+    sf0.01 parquet — skipped gracefully if the test data is absent."""
+    out: dict[str, str] = {}
+    for name, builder in (
+        ("minhash_near_dups", _minhash_oracle_sql),
+        ("simhash_near_dups", _simhash_oracle_sql),
+        ("srp_ann", _srp_oracle_sql),
+        ("ivf_ann", _ivf_oracle_sql),
+        ("langid_top1", _langid_oracle_sql),
+        ("multimodal_features", _multimodal_oracle_sql),
+        ("split_by_language", _split_lang_oracle_sql),
+    ):
+        try:
+            out[name] = builder()
+        except Exception as exc:  # missing testdata → rows-only fallback
+            sys.stderr.write(f"oracle builder {name} skipped: {exc}\n")
+    return out

@@ -52,11 +52,21 @@ REASON_ORDER = [
     "perplexity_high",
 ]
 
+# reasons computable without the langid/perplexity UDFs — `keep_rules` (the
+# conjunction of their negations) is SQL-expressible, which gives the full
+# pipeline a DuckDB-oracle-checkable output column (VERDICT r01 #2a)
+RULE_ONLY_REASONS = [
+    r for r in REASON_ORDER if r not in ("low_lang_conf", "perplexity_high")
+]
+
 
 def reason_conditions(cfg: QualityConfig) -> dict[str, Column]:
     """Reason → boolean Column, over the metric columns added by
     quality.with_quality_metrics + langid + perplexity stages."""
-    lang_bad = F.col("lang_score") < F.lit(cfg.min_lang_score)
+    # NULL lang_score must read as low confidence (GoldenScorer parity:
+    # core/golden.py treats score=None as low_lang_conf=True); a bare < on
+    # NULL evaluates to NULL and the F.when() would silently keep the row.
+    lang_bad = F.coalesce(F.col("lang_score"), F.lit(0.0)) < F.lit(cfg.min_lang_score)
     if cfg.allowed_langs is not None:
         lang_bad = lang_bad | ~F.col("lang_top").isin(cfg.allowed_langs)
     return {
@@ -85,6 +95,12 @@ def with_decision(
     )
     df = df.withColumn("drop_reasons", reasons)
     df = df.withColumn("keep", F.size("drop_reasons") == 0)
+    df = df.withColumn(
+        "keep_rules",
+        ~F.arrays_overlap(
+            "drop_reasons", F.array(*[F.lit(r) for r in RULE_ONLY_REASONS])
+        ),
+    )
     df = df.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
     # scrub only kept rows — dropped rows never pay the regex chain
     df = df.withColumn(

@@ -213,16 +213,24 @@ def minhash_signature_udf(n_perm: int = 128, shingle_k: int = 5, seed: int = 42)
     @pandas_udf("array<long>")
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batches:
-            out = []
-            for text in s.fillna(""):
-                sh = _shingle_hashes(text, shingle_k)
-                # (a*x + b) mod p per permutation; min over shingles
-                vals = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
-                sig = vals.min(axis=1).astype(np.int64)
-                out.append(sig.tolist())
+            out = minhash_signatures_np(s.fillna("").tolist(), a, b, shingle_k)
             yield pd.Series(out, index=s.index)
 
     return _udf
+
+
+def minhash_signatures_np(
+    texts: list, a: np.ndarray, b: np.ndarray, shingle_k: int
+) -> list:
+    """Pure function texts → list of int64 signature lists.  Shared by the
+    Spark UDF and the DuckDB oracle precompute (bit-identical both sides)."""
+    out = []
+    for text in texts:
+        sh = _shingle_hashes(text, shingle_k)
+        # (a*x + b) mod p per permutation; min over shingles
+        vals = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+        out.append(vals.min(axis=1).astype(np.int64).tolist())
+    return out
 
 
 def minhash_lsh_pairs(
@@ -333,20 +341,27 @@ def simhash_udf(shingle_k: int = 4):
 
     @pandas_udf("long")
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        bit_idx = np.arange(64, dtype=np.uint64)
         for s in batches:
-            out = np.zeros(len(s), dtype=np.int64)
-            for i, text in enumerate(s.fillna("")):
-                sh = _shingle_hashes(text, shingle_k)
-                bits = (sh[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(sh)  # ±1 votes
-                val = int(((np.uint64(1) << bit_idx)[votes > 0]).sum())
-                if val >= 1 << 63:  # two's-complement into BIGINT
-                    val -= 1 << 64
-                out[i] = val
+            out = simhash_np(s.fillna("").tolist(), shingle_k)
             yield pd.Series(out, index=s.index)
 
     return _udf
+
+
+def simhash_np(texts: list, shingle_k: int = 4) -> np.ndarray:
+    """Pure function texts → int64 simhash values.  Shared by the Spark UDF
+    and the DuckDB oracle precompute (bit-identical both sides)."""
+    bit_idx = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        sh = _shingle_hashes(text, shingle_k)
+        bits = (sh[:, None] >> bit_idx[None, :]) & np.uint64(1)
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(sh)  # ±1 votes
+        val = int(((np.uint64(1) << bit_idx)[votes > 0]).sum())
+        if val >= 1 << 63:  # two's-complement into BIGINT
+            val -= 1 << 64
+        out[i] = val
+    return out
 
 
 def simhash_near_pairs(

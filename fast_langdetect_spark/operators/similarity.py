@@ -190,6 +190,23 @@ def _spherical_kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
     return cent.astype(np.float32)
 
 
+def ivf_cells_np(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Pure function (B, dim) → nearest-centroid cell ids.  Shared by the
+    Spark UDF and the oracle precompute; float64 so assignment is invariant
+    to Arrow batch composition."""
+    m = mat.astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-9)
+    return (m @ centroids.astype(np.float64).T).argmax(axis=1)
+
+
+def ivf_probes_np(mat: np.ndarray, centroids: np.ndarray, n_probe: int) -> np.ndarray:
+    """Pure function (B, dim) → (B, n_probe) nearest-cell ids, float64."""
+    m = mat.astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-9)
+    sims = m @ centroids.astype(np.float64).T
+    return np.argsort(-sims, axis=1)[:, :n_probe]
+
+
 def ivf_assign_udf(centroids: np.ndarray):
     """vector → nearest-centroid id (one matmul per Arrow batch)."""
 
@@ -198,8 +215,7 @@ def ivf_assign_udf(centroids: np.ndarray):
         cent = centroids
         for s in batches:
             mat = np.asarray(s.tolist(), dtype=np.float32)
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
-            yield pd.Series((mat @ cent.T).argmax(axis=1), index=s.index)
+            yield pd.Series(ivf_cells_np(mat, cent), index=s.index)
 
     return _udf
 
@@ -224,8 +240,16 @@ def ivf_topk(
     equi-join on cluster id — candidates ≈ |corpus|·n_probe/n_clusters per
     query instead of |corpus|.
     """
+    # orderBy before limit: a bare limit takes whatever partitions answer
+    # first, so the k-means training sample (hence centroids, hence cell
+    # assignments) would vary run-to-run.  TakeOrdered is deterministic and
+    # bounded (train_sample rows on the driver).
     sample_rows = (
-        corpus.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist()
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_sample)
+        .toPandas()[vec_col]
+        .tolist()
     )
     cent = _spherical_kmeans(
         np.asarray(sample_rows, dtype=np.float32), n_clusters, seed=seed
@@ -245,9 +269,7 @@ def ivf_topk(
         cmat = np.asarray(cent_list, dtype=np.float32)
         for s in batches:
             mat = np.asarray(s.tolist(), dtype=np.float32)
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
-            sims = mat @ cmat.T
-            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            order = ivf_probes_np(mat, cmat, n_probe)
             yield pd.Series([row.tolist() for row in order], index=s.index)
 
     q = queries.select(
@@ -268,20 +290,33 @@ def ivf_topk(
 # ------------------------------------------------------------------ SRP-LSH
 
 
+def srp_planes(dim: int, n_bits: int = 64, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes (float64; drawn float32 for layout
+    stability with round-1 signatures, then upcast)."""
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(dim, n_bits)).astype(np.float32).astype(np.float64)
+
+
+def srp_signatures_np(mat: np.ndarray, n_bits: int = 64, seed: int = 7) -> np.ndarray:
+    """Pure function (B, dim) → int64 signatures.  Shared by the Spark UDF
+    and the DuckDB oracle precompute so both sides are bit-identical.  The
+    projection runs in float64: float32 GEMMs reassociate per batch size and
+    can flip a sign bit on a near-zero projection."""
+    planes = srp_planes(mat.shape[1], n_bits, seed)
+    weights = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
+    bits = (mat.astype(np.float64) @ planes) > 0  # (B, n_bits)
+    vals = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+    return vals.astype(np.int64)  # two's-complement reinterpret
+
+
 def srp_signature_udf(dim: int, n_bits: int = 64, seed: int = 7):
     """Signed-random-projection signature: sign(R·v) packed into a BIGINT."""
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(dim, n_bits)).astype(np.float32)
 
     @pandas_udf("long")
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        weights = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
         for s in batches:
             mat = np.asarray(s.tolist(), dtype=np.float32)  # (B, dim)
-            bits = (mat @ planes) > 0  # (B, n_bits)
-            vals = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
-            out = vals.astype(np.int64)  # two's-complement reinterpret
-            yield pd.Series(out, index=s.index)
+            yield pd.Series(srp_signatures_np(mat, n_bits, seed), index=s.index)
 
     return _udf
 

@@ -110,6 +110,7 @@ RESULT_COLUMNS = [
     "lang_score",
     "perplexity",
     "keep",
+    "keep_rules",
     "drop_reasons",
     "scrubbed",
     "scrubbed_content",
