@@ -39,12 +39,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full pipeline over the synthetic corpus (sf0.001-ish size)."""
-    from fast_langdetect_spark.plans.pipeline import PipelineConfig, run_pipeline
+    """Flagship: full pipeline over the synthetic corpus, executed THROUGH
+    the lineage/resume path (bucket-grained exactly-once commit protocol,
+    plans/lineage.py) so the driver smoke-check exercises the same write/
+    resume machinery a production run uses.  Output schema matches round 1
+    (aggregate over the written results)."""
+    import tempfile
+
+    from fast_langdetect_spark.plans.lineage import run_with_resume
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig
+    from fast_langdetect_spark.sources.io import read_corpus
     from fast_langdetect_spark.sources.synth import corpus_df
 
     corpus = corpus_df(spark, 500, partitions=8)
-    out = run_pipeline(corpus, PipelineConfig(n_buckets=16, n_salts=4))
+    base = tempfile.mkdtemp(prefix="fld_entry_")
+    out_path, lin_path = f"{base}/results", f"{base}/lineage"
+    run_with_resume(
+        spark, corpus, out_path, lin_path, PipelineConfig(n_buckets=16, n_salts=4)
+    )
+    out = read_corpus(spark, out_path)
     return (
         out.groupBy("lang_top", "keep")
         .agg(

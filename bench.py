@@ -94,6 +94,62 @@ def q_scrub_docs(spark, sf_dir: str):
     ).collect()[0]
 
 
+def _total_busy_jiffies() -> int:
+    parts = Path("/proc/stat").read_text().splitlines()[0].split()[1:]
+    vals = list(map(int, parts))
+    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+
+
+def _tree_cpu_jiffies() -> int:
+    """utime+stime summed over this process and all descendants (JVM +
+    pyspark workers)."""
+    me = os.getpid()
+    procs = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            parts = Path(f"/proc/{pid}/stat").read_text().rsplit(")", 1)[1].split()
+            procs[int(pid)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+        except Exception:
+            pass
+    desc = {me}
+    changed = True
+    while changed:
+        changed = False
+        for pid, (ppid, _) in procs.items():
+            if ppid in desc and pid not in desc:
+                desc.add(pid)
+                changed = True
+    return sum(procs[p][1] for p in desc if p in procs)
+
+
+def _external_busy_cores(interval: float = 1.0) -> float:
+    """Instantaneous co-tenant CPU load in cores: total host busy minus this
+    process tree.  loadavg is useless here — our own 32-worker queries keep
+    the 1-minute average high for minutes after they finish, so a loadavg
+    gate stalls on its own footprint.  This measure is immune to our own
+    work and to the decay lag."""
+    b0, t0 = _total_busy_jiffies(), _tree_cpu_jiffies()
+    time.sleep(interval)
+    b1, t1 = _total_busy_jiffies(), _tree_cpu_jiffies()
+    hz = os.sysconf("SC_CLK_TCK")
+    return max(0.0, ((b1 - b0) - (t1 - t0)) / hz / interval)
+
+
+def _wait_quiet(limit: float = 1.0, timeout: float = 240.0) -> float:
+    """Gate on EXTERNAL (co-tenant) CPU load before a timed run (CLAUDE.md
+    rule: co-tenant bursts inflate wall times up to 2.7×).  Never blocks
+    forever — on timeout the JSON line carries the observed load so a noisy
+    run is self-describing."""
+    t0 = time.time()
+    ext = _external_busy_cores()
+    while ext > limit and time.time() - t0 < timeout:
+        time.sleep(5)
+        ext = _external_busy_cores()
+    return round(ext, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -119,6 +175,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    loads: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
+    hz = os.sysconf("SC_CLK_TCK")
 
     all_queries = [
         ("pipeline_corpus", lambda: q_pipeline(spark, corpus_path)),
@@ -126,13 +185,26 @@ def main() -> None:
         ("quality_native", lambda: q_quality_native(spark, sf_dir)),
         ("scrub_docs", lambda: q_scrub_docs(spark, sf_dir)),
     ]
+    retries = int(os.environ.get("FLD_BENCH_RETRIES", "1"))
     for name, fn in all_queries:
         if selected is not None and name not in selected:
             continue
-        t0 = time.time()
-        res = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best, best_load, best_cpu, res = None, None, None, None
+        for attempt in range(1 + retries):
+            load = _wait_quiet()
+            c0 = _tree_cpu_jiffies()
+            t0 = time.time()
+            res = fn()
+            dt = time.time() - t0
+            cpu = (_tree_cpu_jiffies() - c0) / hz
+            if best is None or dt < best:
+                best, best_load, best_cpu = dt, load, cpu
+            if load <= 1.0 and attempt == 0:
+                break  # quiet first attempt — no retry needed
+        timings[name] = round(best, 3)
         rows[name] = res["n"]
+        loads[name] = best_load
+        cpu_secs[name] = round(best_cpu, 1)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -145,6 +217,8 @@ def main() -> None:
                 "sf": sf_val,
                 "cpus": cpus,
                 "rows": rows,
+                "external_load_cores": loads,
+                "cpu_sec": cpu_secs,
                 "files_per_sec": (
                     round(BENCH_CORPUS_ROWS / timings["pipeline_corpus"], 1)
                     if "pipeline_corpus" in timings

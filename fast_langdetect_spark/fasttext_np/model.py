@@ -40,6 +40,9 @@ EOW = b">"
 LABEL_PREFIX = b"__label__"
 # fastText's std_log smoothing constant (log(x + 1e-5))
 LOG_EPS = 1e-5
+# fixed GEMM block for the logit chain: fixed shape → fixed BLAS kernel →
+# batch-shape-invariant scores; 1024×175 float32 temps stay cache-resident
+LOGIT_BLOCK = 1024
 # fastText word separators (Dictionary::readWord)
 _WHITESPACE = b" \n\t\x0b\x0c\r\x00"
 
@@ -192,10 +195,8 @@ def _build_hs_tree(counts: Sequence[int]) -> _HSTree:
             j = parent[j]
         paths.append(path)
         codes.append(code)
-    # float64: the log-prob accumulation runs in float64 so scores are
-    # batch-shape invariant (float32 GEMMs take size-dependent BLAS paths).
-    pos = np.zeros((osz, osz - 1), dtype=np.float64)
-    neg = np.zeros((osz, osz - 1), dtype=np.float64)
+    pos = np.zeros((osz, osz - 1), dtype=np.float32)
+    neg = np.zeros((osz, osz - 1), dtype=np.float32)
     for i in range(osz):
         for p, c in zip(paths[i], codes[i]):
             if c:
@@ -301,10 +302,9 @@ class FastTextModel:
         self._tree = _build_hs_tree(label_counts)
         # output rows used by hs are 0..nlabels-2
         self._wo = self.output_matrix[: nlabels - 1] if loss == 1 else self.output_matrix
-        # float64 copy for the logit chain: makes scores independent of batch
-        # shape (float32 GEMM kernels reassociate differently per size).
-        # 176×16 doubles = 22 KiB; negligible.
-        self._wo64 = self._wo.astype(np.float64)
+        # lazily-allocated fixed-shape scratch buffers for the blocked logit
+        # chain (see label_log_probs); keyed on nlabels so they survive reuse
+        self._logit_bufs: Optional[dict] = None
         self._eos_id = vocab.get(EOS)
         # token → np.ndarray of input-matrix row ids
         self._subword_cache: Dict[bytes, np.ndarray] = {}
@@ -384,9 +384,12 @@ class FastTextModel:
         batch, then one fancy-index through the prune LUT — the per-token
         Python work is reduced to ngram slicing and array splits.
         """
+        # NOTE: eviction happens at BATCH boundaries (_hidden_batch /
+        # batch_token_ids), never here — clearing mid-resolve would drop
+        # entries that earlier rows of the SAME batch already rely on
+        # (KeyError at the gather; bit us at local[2]×500k where a worker
+        # sees >cap distinct tokens).
         cache = self._subword_cache
-        if len(cache) >= self._oov_cache_cap:
-            cache.clear()
         vocab = self.vocab
         nwords = self.nwords
         empty = np.empty(0, dtype=np.int64)
@@ -441,6 +444,8 @@ class FastTextModel:
         raw = text.encode("utf-8")
         tokens = _split_whitespace(raw)
         cache = self._subword_cache
+        if len(cache) >= self._oov_cache_cap:
+            cache.clear()  # evict between lookups only — see _resolve_tokens
         missing = [t for t in tokens if t not in cache]
         if missing:
             self._resolve_tokens(list(dict.fromkeys(missing)))
@@ -460,6 +465,8 @@ class FastTextModel:
     def _hidden_batch(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Mean-pooled hidden vectors for a batch; returns (hidden, valid)."""
         cache = self._subword_cache
+        if len(cache) >= self._oov_cache_cap:
+            cache.clear()  # evict between batches only — see _resolve_tokens
         tok_lists: List[List[bytes]] = []
         missing: Dict[bytes, None] = {}
         for text in texts:
@@ -499,28 +506,68 @@ class FastTextModel:
             hidden[valid] = sums / lens[valid][:, None]
         return hidden, valid
 
+    def _get_logit_bufs(self) -> dict:
+        if self._logit_bufs is None:
+            nl1 = self.nlabels - 1
+            B = LOGIT_BLOCK
+            self._logit_bufs = {
+                "hid": np.zeros((B, self.dim), dtype=np.float32),
+                "f": np.empty((B, nl1), dtype=np.float32),
+                "sig": np.empty((B, nl1), dtype=np.float32),
+                "lpos": np.empty((B, nl1), dtype=np.float32),
+                "lneg": np.empty((B, nl1), dtype=np.float32),
+                "out": np.empty((B, self.nlabels), dtype=np.float32),
+                "tmp": np.empty((B, self.nlabels), dtype=np.float32),
+            }
+        return self._logit_bufs
+
     def label_log_probs(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """(B × nlabels) hierarchical-softmax log-probabilities, plus validity.
 
         log P(label) = Σ_path log(σ(±f) + 1e-5), fastText's std_log smoothing
         included, so exp() of these matches fastText scores to ~1e-6.
 
-        The hidden vector (mean pool via reduceat) is already batch-shape
-        invariant; the logit GEMM + log chain runs in float64 because float32
-        GEMMs take batch-size-dependent BLAS kernels whose reassociation
-        shifts scores ~1e-7 — enough that predict([t]) != predict_batch with
-        the same t in a larger batch. float64 reassociation error is ~1e-15,
-        so scores are stable across repartitionings/batch compositions.
+        Batch-shape invariance + memory hygiene: the chain runs in FIXED
+        1024-row blocks (last block zero-padded) over preallocated float32
+        scratch buffers.  A fixed GEMM shape means a fixed BLAS kernel and a
+        fixed accumulation order, so a text scores identically whether it
+        arrives alone or inside any batch/partition (float32 GEMMs with
+        batch-sized shapes reassociate differently per size — the round-1
+        predict≠predict_batch divergence).  The preallocated ~4 MB working
+        set also keeps the hot loop L2/L3-resident instead of churning
+        O(batch) fresh temporaries through malloc/first-touch/memory bus —
+        the per-core contention that hurt multi-worker scaling.
         """
         hidden, valid = self._hidden_batch(texts)
-        f = hidden.astype(np.float64) @ self._wo64.T  # (B, nlabels-1)
-        eps = LOG_EPS
-        with np.errstate(over="ignore"):
-            sig = 1.0 / (1.0 + np.exp(-f))
-        lpos = np.log(sig + eps)
-        lneg = np.log1p(eps - sig)
+        B = hidden.shape[0]
+        nl = self.nlabels
+        bufs = self._get_logit_bufs()
+        logp = np.empty((B, nl), dtype=np.float32)
+        eps = np.float32(LOG_EPS)
+        one = np.float32(1.0)
         tree = self._tree
-        logp = lpos @ tree.pos_mask.T + lneg @ tree.neg_mask.T
+        hid, fb = bufs["hid"], bufs["f"]
+        sig, lpos, lneg = bufs["sig"], bufs["lpos"], bufs["lneg"]
+        outb, tmpb = bufs["out"], bufs["tmp"]
+        for s in range(0, B, LOGIT_BLOCK):
+            n = min(LOGIT_BLOCK, B - s)
+            hid[:n] = hidden[s : s + n]
+            if n < LOGIT_BLOCK:
+                hid[n:] = 0.0
+            np.matmul(hid, self._wo.T, out=fb)
+            np.negative(fb, out=sig)
+            with np.errstate(over="ignore"):
+                np.exp(sig, out=sig)
+            np.add(sig, one, out=sig)
+            np.divide(one, sig, out=sig)        # σ(f)
+            np.add(sig, eps, out=lpos)
+            np.log(lpos, out=lpos)              # log(σ + ε)
+            np.subtract(eps, sig, out=lneg)
+            np.log1p(lneg, out=lneg)            # log(1 + ε − σ)
+            np.matmul(lpos, tree.pos_mask.T, out=outb)
+            np.matmul(lneg, tree.neg_mask.T, out=tmpb)
+            np.add(outb, tmpb, out=outb)
+            logp[s : s + n] = outb[:n]
         return logp, valid
 
     def predict_batch(

@@ -50,10 +50,32 @@ DEFAULT_DOC_CAP = 8192  # chars scored per doc — bounds cost on huge files
 class CharTrigramLM:
     """Dense log10-probability trigram table with vectorized batch scoring."""
 
+    # scoring processes docs in ~256 KB byte chunks over preallocated buffers:
+    # the old whole-batch form churned O(batch-bytes) fresh int32/float
+    # temporaries (~300 MB per 10k-doc batch) through malloc + the memory bus,
+    # which is what capped multi-worker scaling.  Results are bit-identical
+    # (per-doc segments never span chunks; same ops, same order).
+    CHUNK_BYTES = 1 << 18
+
     def __init__(self, log10_table: np.ndarray, default_logp: float):
         assert log10_table.shape == (V * V * V,)
         self.table = log10_table.astype(np.float32)
         self.default_logp = float(default_logp)
+        self._bufs: Optional[dict] = None
+        self._buf_len = 0
+
+    def _get_bufs(self, need: int) -> dict:
+        if self._bufs is None or self._buf_len < need:
+            self._buf_len = max(need, self.CHUNK_BYTES + (1 << 16))
+            n = self._buf_len
+            self._bufs = {
+                "ids": np.empty(n, dtype=np.int32),
+                "tri": np.empty(n, dtype=np.int32),
+                "valid": np.empty(n, dtype=bool),
+                "vals": np.empty(n, dtype=np.float32),
+                "v64": np.empty(n, dtype=np.float64),
+            }
+        return self._bufs
 
     # ---------------------------------------------------------------- training
 
@@ -120,19 +142,43 @@ class CharTrigramLM:
         encs = [
             (text[:doc_cap] if text else "").encode("utf-8") for text in texts
         ]
-        joined = b"\x01\x01".join(encs) + b"\x01\x01\x01"
-        ids = _BYTE_TO_SYM[np.frombuffer(joined, dtype=np.uint8)]
-        a, b, c = ids[:-2], ids[1:-1], ids[2:]
-        valid = (a >= 0) & (b >= 0) & (c >= 0)
-        tri = (a * V + b) * V + c
-        vals = np.where(valid, self.table[np.where(valid, tri, 0)], np.float32(0.0))
-        lens = np.fromiter((len(e) for e in encs), dtype=np.int64, count=n)
-        offs = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1] + 2, out=offs[1:])
-        sums = np.add.reduceat(vals.astype(np.float64), offs)
-        counts = np.add.reduceat(valid.astype(np.int64), offs)
-        scored = counts > 0
-        out[scored] = sums[scored] / counts[scored]
+        i = 0
+        while i < n:
+            j, size = i, 0
+            while j < n and (j == i or size + len(encs[j]) + 2 <= self.CHUNK_BYTES):
+                size += len(encs[j]) + 2
+                j += 1
+            joined = b"\x01\x01".join(encs[i:j]) + b"\x01\x01\x01"
+            L = len(joined)
+            bufs = self._get_bufs(L)
+            ids = bufs["ids"][:L]
+            np.take(_BYTE_TO_SYM, np.frombuffer(joined, dtype=np.uint8), out=ids)
+            a, b, c = ids[:-2], ids[1:-1], ids[2:]
+            m = L - 2
+            valid = bufs["valid"][:m]
+            np.greater_equal(a, 0, out=valid)
+            valid &= b >= 0
+            valid &= c >= 0
+            tri = bufs["tri"][:m]
+            np.multiply(a, V, out=tri)
+            tri += b
+            tri *= V
+            tri += c
+            tri *= valid  # invalid → index 0 (value masked below)
+            vals = bufs["vals"][:m]
+            np.take(self.table, tri, out=vals)
+            vals *= valid
+            v64 = bufs["v64"][:m]
+            np.copyto(v64, vals)
+            lens = np.fromiter((len(e) for e in encs[i:j]), dtype=np.int64, count=j - i)
+            offs = np.zeros(j - i, dtype=np.int64)
+            np.cumsum(lens[:-1] + 2, out=offs[1:])
+            sums = np.add.reduceat(v64, offs)
+            counts = np.add.reduceat(valid.astype(np.int64), offs)
+            scored = counts > 0
+            seg = out[i:j]
+            seg[scored] = sums[scored] / counts[scored]
+            i = j
         return out
 
     def perplexity(

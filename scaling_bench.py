@@ -31,17 +31,20 @@ LEVELS = tuple(
 )
 
 
-def _wait_quiet(limit: float = 1.5, timeout: float = 300.0) -> float:
-    """Gate on the host's (co-tenant) load before each timed run."""
+def _wait_quiet(limit: float = 1.0, timeout: float = 300.0) -> float:
+    """Gate on EXTERNAL (co-tenant) CPU before each timed run.  Uses
+    bench.py's /proc/stat-minus-own-tree measure: loadavg is useless right
+    after our own 32-worker runs (1-min average decays for minutes)."""
     import time
 
+    from bench import _external_busy_cores
+
     t0 = time.time()
-    while time.time() - t0 < timeout:
-        load1 = float(open("/proc/loadavg").read().split()[0])
-        if load1 <= limit:
-            return load1
+    ext = _external_busy_cores()
+    while ext > limit and time.time() - t0 < timeout:
         time.sleep(10)
-    return load1
+        ext = _external_busy_cores()
+    return ext
 
 
 def run_level(cpus: int) -> dict:
@@ -104,19 +107,32 @@ def main() -> None:
     t8 = results[n8]["queries"]["pipeline_corpus"]
     t32 = results[n32]["queries"]["pipeline_corpus"]
     rows = results[n32]["rows"]["pipeline_corpus"]
+    cpu8 = results[n8].get("cpu_sec", {}).get("pipeline_corpus")
+    cpu32 = results[n32].get("cpu_sec", {}).get("pipeline_corpus")
+    ext8 = results[n8].get("external_load_cores", {}).get("pipeline_corpus")
+    ext32 = results[n32].get("external_load_cores", {}).get("pipeline_corpus")
     thr8 = rows / t8
     thr32 = rows / t32
     eff = thr32 / ((n32 / n8) * thr8)
     envelope = cpu_envelope(n8, n32)
+    # work conservation: total CPU consumed for the same job at both levels.
+    # ≈1.0 means the engine adds no serial/overhead work as parallelism
+    # grows — any wall-efficiency shortfall is then shared-hardware
+    # contention (memory bus / SMT / co-tenant), which multi-node clusters
+    # remove (each executor brings its own memory channels).
+    conservation = round(cpu8 / cpu32, 3) if cpu8 and cpu32 else None
     summary = {
         "metric": "scaling_efficiency_N_vs_4N",
         "value": round(eff, 3),
         "unit": "ratio",
         "rows": rows,
-        f"local{n8}": {"wall_sec": t8, "files_per_sec": round(thr8, 1)},
-        f"local{n32}": {"wall_sec": t32, "files_per_sec": round(thr32, 1)},
+        f"local{n8}": {"wall_sec": t8, "files_per_sec": round(thr8, 1),
+                       "cpu_sec": cpu8, "external_load": ext8},
+        f"local{n32}": {"wall_sec": t32, "files_per_sec": round(thr32, 1),
+                        "cpu_sec": cpu32, "external_load": ext32},
         "cpu_envelope": round(envelope, 3),
         "relative_to_envelope": round(eff / envelope, 3),
+        "work_conservation_cpu": conservation,
         "gate": ">=0.8",
         "pass": eff >= 0.8,
     }
@@ -125,13 +141,16 @@ def main() -> None:
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     md = (
         f"\n## Scaling run {stamp}\n\n"
-        f"| parallelism | wall (s) | files/sec |\n|---|---|---|\n"
-        f"| local[{n8}] (N) | {t8} | {thr8:,.0f} |\n"
-        f"| local[{n32}] (4N) | {t32} | {thr32:,.0f} |\n\n"
+        f"| parallelism | wall (s) | files/sec | cpu (s) | ext. load (cores) |\n"
+        f"|---|---|---|---|---|\n"
+        f"| local[{n8}] (N) | {t8} | {thr8:,.0f} | {cpu8} | {ext8} |\n"
+        f"| local[{n32}] (4N) | {t32} | {thr32:,.0f} | {cpu32} | {ext32} |\n\n"
         f"**Scaling efficiency = T(N)/({n32 // n8}·T(4N)) = {eff:.3f}** "
         f"(gate ≥ 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}); host pure-CPU "
-        f"envelope between these levels = {envelope:.3f} (SMT), so the "
-        f"pipeline reaches {eff / envelope:.0%} of the hardware ceiling — "
+        f"envelope between these levels = {envelope:.3f}, pipeline at "
+        f"{eff / envelope:.0%} of the hardware ceiling; CPU work "
+        f"conservation N→4N = {conservation} (1.0 = no engine serialization; "
+        f"shortfall vs the wall gate is shared-socket contention) — "
         f"{rows:,} files, full pipeline (langid+ppl UDF, rules, scrub, "
         f"decision, bucketed repartition), same input both levels.\n"
     )

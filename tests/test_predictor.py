@@ -120,3 +120,32 @@ def test_label_tokens_in_text_are_skipped(model):
     b = model.predict("hello world", k=1)
     assert a[0] == b[0]
     assert np.allclose(a[1], b[1])
+
+
+def test_oov_cache_eviction_mid_batch_safe():
+    """Regression (round 2): when a batch crosses the subword-cache cap the
+    eviction must not drop tokens earlier rows of the SAME batch rely on —
+    clearing inside _resolve_tokens raised KeyError at the gather once a
+    worker saw >cap distinct tokens (local[2] × 500k bench crash)."""
+    import numpy as np
+
+    from fast_langdetect_spark.core.api import load_model_cached
+    from fast_langdetect_spark.resources import resolve_lite_model_path
+
+    model = load_model_cached(resolve_lite_model_path())
+    old_cap, old_cache = model._oov_cache_cap, dict(model._subword_cache)
+    try:
+        model._subword_cache.clear()
+        model._oov_cache_cap = 32  # force eviction pressure
+        texts = [f"tok{i}a tok{i}b shared common words {i}" for i in range(200)]
+        logp, valid = model.label_log_probs(texts)  # must not raise
+        assert logp.shape[0] == 200 and valid.all()
+        # eviction must not change scores: compare against a fresh pass
+        model._subword_cache.clear()
+        model._oov_cache_cap = old_cap
+        logp2, _ = model.label_log_probs(texts)
+        assert np.array_equal(logp, logp2)
+    finally:
+        model._oov_cache_cap = old_cap
+        model._subword_cache.clear()
+        model._subword_cache.update(old_cache)
