@@ -630,6 +630,11 @@ def _langid_oracle_sql() -> str:
             )
         else:
             rows.append(f"({doc_id}, {lang_sql}, {score_sql})")
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS VARCHAR) "
+            "lang_top, CAST(NULL AS DOUBLE) lang_score WHERE false"
+        )
     vals = ",\n".join(rows)
     return (
         "SELECT doc_id, lang_top, lang_score FROM (VALUES\n"
@@ -668,6 +673,12 @@ def _split_lang_oracle_sql() -> str:
                 )
             else:
                 rows.append(f"({doc_id}, '{seg_sql}', '{lang}', {score_sql})")
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS VARCHAR) "
+            "segment, CAST(NULL AS VARCHAR) lang, CAST(NULL AS DOUBLE) score "
+            "WHERE false"
+        )
     vals = ",\n".join(rows)
     return (
         "SELECT doc_id, segment, lang, score FROM (VALUES\n"

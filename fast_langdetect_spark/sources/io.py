@@ -47,11 +47,17 @@ def write_results(
     """
     if uri.startswith(TABLE_PREFIX):
         name = uri[len(TABLE_PREFIX):]
-        writer = df.writeTo(name)
-        if mode == "overwrite":
-            writer.overwritePartitions()
-        else:
-            writer.append()
+        try:
+            writer = df.writeTo(name)
+            if mode == "overwrite":
+                writer.overwritePartitions()
+            else:
+                writer.append()
+            return
+        except Exception as exc:  # v1 session-catalog table → v1 writer
+            if "v1 table" not in str(exc):
+                raise
+        _v1_table_write(df, name, overwrite=(mode == "overwrite"))
         return
     conf = df.sparkSession.conf
     key = "spark.sql.sources.partitionOverwriteMode"
@@ -63,8 +69,32 @@ def write_results(
         conf.set(key, prev)
 
 
+def _v1_table_write(df: DataFrame, name: str, overwrite: bool) -> None:
+    """insertInto with dynamic partition overwrite — the v1 analogue of
+    DataFrameWriterV2.overwritePartitions (writeTo cannot target v1
+    session-catalog tables).  insertInto is position-based, so columns are
+    aligned to the table schema first."""
+    spark = df.sparkSession
+    df = df.select(*spark.table(name).columns)
+    conf = spark.conf
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = conf.get(key, "static")
+    conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite" if overwrite else "append").insertInto(name)
+    finally:
+        conf.set(key, prev)
+
+
 def append_lineage(df: DataFrame, uri: str) -> None:
     if uri.startswith(TABLE_PREFIX):
-        df.writeTo(uri[len(TABLE_PREFIX):]).append()
+        name = uri[len(TABLE_PREFIX):]
+        try:
+            df.writeTo(name).append()
+            return
+        except Exception as exc:
+            if "v1 table" not in str(exc):
+                raise
+        _v1_table_write(df, name, overwrite=False)
         return
     df.write.mode("append").parquet(uri)

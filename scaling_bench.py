@@ -48,20 +48,39 @@ def _wait_quiet(limit: float = 1.0, timeout: float = 300.0) -> float:
 
 
 def run_level(cpus: int) -> dict:
+    """One parallelism level = bench.py pinned to EXACTLY `cpus` host CPUs.
+
+    Without the taskset pin, local[N] means "N task slots" but the JVM's
+    shuffle/GC/IO helper threads (and the python workers' brief bursts)
+    spill onto OTHER host cores — the small level borrows proportionally
+    more extra silicon, understating true N-core throughput and making the
+    N vs 4N comparison unfair.  Pinning the whole process tree to an N-CPU
+    affinity mask is the honest emulation of an N-core executor node (the
+    unit the north rule scales by)."""
     _wait_quiet()
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["FLD_BENCH_QUERIES"] = "pipeline_corpus"
+    # pin to the TOP of the CPU range: CPU 0 (and friends) service IRQs and
+    # kernel housekeeping, which a 2-CPU mask cannot absorb
+    n_host = os.cpu_count() or 32
+    mask = f"{n_host - cpus}-{n_host - 1}"
     out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")],
+        ["taskset", "-c", mask, sys.executable, str(REPO / "bench.py")],
         capture_output=True, text=True, env=env, timeout=1800,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
-def _burn(_):
-    os.environ["OMP_NUM_THREADS"] = "1"
+def _burn(rank):
+    # pin BLAS to 1 thread BEFORE numpy initializes in this child, and pin
+    # the child to its own CPU — without both, forked children inherit the
+    # parent's (unpinned) threadpool and migrate, and the "envelope" mostly
+    # measures oversubscription instead of silicon
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
+    os.sched_setaffinity(0, {int(rank)})
     import time
 
     import numpy as np
@@ -77,12 +96,15 @@ def _burn(_):
 
 def cpu_envelope(n_lo: int, n_hi: int) -> float:
     """Pure-CPU scaling ceiling of this host between the two process counts
-    (SMT makes >physical-core levels sublinear regardless of the workload)."""
+    (hypervisor SMT/oversubscription makes high levels sublinear regardless
+    of the workload).  Load-gated like the timed runs."""
     import multiprocessing as mp
 
+    _wait_quiet()
     totals = {}
     for procs in (n_lo, n_hi):
-        with mp.Pool(procs) as p:
+        ctx = mp.get_context("spawn")  # fresh interpreters: no inherited BLAS
+        with ctx.Pool(procs) as p:
             totals[procs] = sum(p.map(_burn, range(procs)))
     return totals[n_hi] / ((n_hi / n_lo) * totals[n_lo])
 
