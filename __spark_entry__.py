@@ -168,7 +168,10 @@ def _q_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline over the synthetic corpus, all output columns including
-    the UDF-derived ones (not SQL-expressible → rows-only check)."""
+    the UDF-derived ones.  The corpus is a pure function of row index, so the
+    oracle recomputes every expected row via the row-at-a-time GoldenScorer
+    (an independent code path from the vectorized UDFs) — see
+    _pipeline_full_oracle_sql."""
     from fast_langdetect_spark.plans.pipeline import PipelineConfig, run_pipeline
     from fast_langdetect_spark.sources.synth import corpus_df
 
@@ -177,6 +180,18 @@ def _q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "commit", "lang_top", "keep", "keep_rules",
         F.array_join("drop_reasons", ",").alias("drop_reasons_csv"),
         "scrubbed", "content_sha256",
+    )
+
+
+def _q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram perplexity LM (Q1) standalone.  The chunked scorer is
+    batch-shape invariant (per-doc segments never span chunks — asserted by
+    golden tests), so the oracle is an independent no-Spark recomputation
+    over the same parquet, compared as exact doubles."""
+    from fast_langdetect_spark.operators.perplexity import perplexity_udf
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", perplexity_udf()(F.col("text")).alias("perplexity")
     )
 
 
@@ -359,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docstats_by_source": _q_docstats_by_source,
         "pipeline_decisions": _q_pipeline_decisions,
         "pipeline_full": _q_pipeline_full,
+        "perplexity": _q_perplexity,
         "exact_dups": _q_exact_dups,
         "token_jaccard": _q_token_jaccard,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -534,15 +550,21 @@ def _srp_oracle_sql() -> str:
         else f"({vid}, {int(sig)})"
         for i, ((vid, _), sig) in enumerate(zip(rows, sigs))
     )
+    # mirror the operator's corpus-side mega-bucket cap (inert at sf0.01 —
+    # fewer rows than the cap — but kept so oracle ≡ operator exactly)
     cand_cte = f"""
 WITH sigs(id, sig) AS (VALUES {vals}),
 bands AS (
   SELECT id, band, (sig >> (band * {band_bits})) & {bmask} AS bval
   FROM sigs, range(0, {n_bands}) t(band)
 ),
+ok_buckets AS (
+  SELECT band, bval FROM bands GROUP BY band, bval HAVING COUNT(*) <= 1000
+),
+ckept AS (SELECT bands.* FROM bands JOIN ok_buckets USING (band, bval)),
 cand AS (
   SELECT DISTINCT q.id AS q_id, c.id AS c_id
-  FROM bands q JOIN bands c USING (band, bval)
+  FROM bands q JOIN ckept c USING (band, bval)
   WHERE q.id < 8 AND q.id <> c.id
 )"""
     return _ann_rerank_sql(cand_cte, k=5)
@@ -684,6 +706,85 @@ def _split_lang_oracle_sql() -> str:
         "SELECT doc_id, segment, lang, score FROM (VALUES\n"
         + vals
         + "\n) t(doc_id, segment, lang, score)"
+    )
+
+
+def _perplexity_oracle_sql() -> str:
+    """Independent local recomputation of the perplexity UDF (no Spark):
+    the same CharTrigramLM scores the same parquet driver-side.  Exact
+    doubles — the chunked scorer is bit-identical in any batch shape."""
+    from fast_langdetect_spark.operators.perplexity import (
+        DEFAULT_DOC_CAP,
+        default_lm,
+    )
+
+    docs = _oracle_docs(10**9)
+    ppl = default_lm().perplexity([t for _, t in docs], doc_cap=DEFAULT_DOC_CAP)
+    rows = []
+    for (doc_id, _), p in zip(docs, ppl):
+        if not rows:  # pin VALUES column types on the first row
+            rows.append(
+                f"(CAST({doc_id} AS BIGINT), CAST({float(p):.17e} AS DOUBLE))"
+            )
+        else:
+            rows.append(f"({doc_id}, {float(p):.17e})")
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS DOUBLE) "
+            "perplexity WHERE false"
+        )
+    return (
+        "SELECT doc_id, perplexity FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) t(doc_id, perplexity)"
+    )
+
+
+def _pipeline_full_oracle_sql() -> str:
+    """Independent recomputation of the FULL pipeline output: the corpus is
+    a pure function of row index (sources/synth.py), so the row-at-a-time
+    GoldenScorer (core/golden.py — the reference-parity labels the F1 gate
+    uses, a separate code path from the vectorized UDFs) rebuilds every
+    expected row locally and inlines it as VALUES.  This upgrades
+    pipeline_full from rows-only to a full rows+schema+hash oracle."""
+    from fast_langdetect_spark.core.golden import GoldenScorer
+    from fast_langdetect_spark.operators.decision import RULE_ONLY_REASONS
+    from fast_langdetect_spark.sources.synth import corpus_pandas
+
+    rule_only = set(RULE_ONLY_REASONS)
+    scorer = GoldenScorer()
+    rows = []
+    for rec in corpus_pandas(500).itertuples(index=False):
+        g = scorer.score(rec.content)
+        keep_rules = not any(r in rule_only for r in g.drop_reasons)
+        lang_sql = f"'{g.lang_top}'" if g.lang_top is not None else "NULL"
+        scrubbed_sql = (
+            "NULL" if g.scrubbed is None else ("TRUE" if g.scrubbed else "FALSE")
+        )
+        reasons_csv = ",".join(g.drop_reasons)
+        vals = (
+            f"'{rec.repo}', '{rec.path}', '{rec.commit}', {lang_sql}, "
+            f"{'TRUE' if g.keep else 'FALSE'}, "
+            f"{'TRUE' if keep_rules else 'FALSE'}, "
+            f"'{reasons_csv}', {scrubbed_sql}, '{g.content_sha256}'"
+        )
+        if not rows:  # pin VALUES column types on the first row
+            vals = (
+                f"CAST('{rec.repo}' AS VARCHAR), CAST('{rec.path}' AS VARCHAR), "
+                f"CAST('{rec.commit}' AS VARCHAR), CAST({lang_sql} AS VARCHAR), "
+                f"CAST({'TRUE' if g.keep else 'FALSE'} AS BOOLEAN), "
+                f"CAST({'TRUE' if keep_rules else 'FALSE'} AS BOOLEAN), "
+                f"CAST('{reasons_csv}' AS VARCHAR), "
+                f"CAST({scrubbed_sql} AS BOOLEAN), "
+                f"CAST('{g.content_sha256}' AS VARCHAR)"
+            )
+        rows.append(f"({vals})")
+    return (
+        "SELECT repo, path, commit, lang_top, keep, keep_rules, "
+        "drop_reasons_csv, scrubbed, content_sha256 FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) t(repo, path, commit, lang_top, keep, keep_rules, "
+        "drop_reasons_csv, scrubbed, content_sha256)"
     )
 
 
@@ -842,6 +943,8 @@ def _signature_cte_oracles() -> dict[str, str]:
         ("langid_top1", _langid_oracle_sql),
         ("multimodal_features", _multimodal_oracle_sql),
         ("split_by_language", _split_lang_oracle_sql),
+        ("perplexity", _perplexity_oracle_sql),
+        ("pipeline_full", _pipeline_full_oracle_sql),
     ):
         try:
             out[name] = builder()

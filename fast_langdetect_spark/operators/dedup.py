@@ -33,6 +33,8 @@ from pyspark.sql.functions import pandas_udf
 
 _LOG = logging.getLogger(__name__)
 
+_DF_CAP_LOGGED = False  # one warning per process (token_jaccard df-cap)
+
 # ------------------------------------------------------------------ exact
 
 
@@ -93,6 +95,19 @@ def token_jaccard_pairs(
     )
     posting = toks.select("id", F.explode("toks").alias("tok"))
     if max_doc_freq is not None:
+        # the default cap flips exact token-set semantics to df-capped
+        # semantics (ADVICE r02) — say so once per process so default-path
+        # callers can see the approximation and how to opt out / account it
+        global _DF_CAP_LOGGED
+        if not _DF_CAP_LOGGED:
+            _DF_CAP_LOGGED = True
+            _LOG.warning(
+                "token_jaccard_pairs: jaccard computed over the df-capped "
+                "token universe (max_doc_freq=%d); pass max_doc_freq=None "
+                "for exact token-set semantics or stats_out={} to count "
+                "dropped tokens/postings",
+                max_doc_freq,
+            )
         df_counts = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df_cnt"))
         if stats_out is not None:
             dropped = (

@@ -59,9 +59,13 @@ SCRUB_RULES: List[Tuple[str, str, str, str]] = [
 # chain output.  That is sound: no replacement token ("<EMAIL>", "<IP>",
 # "<SECRET>") contains '@', digit.digit, 'AKIA', or a secret keyword, and
 # replacements are non-empty so a substitution can never join surrounding
-# characters into a new guard trigger.  (Guarding on the chained output
-# would also be correct but grows the expression tree 3× per rule —
-# exponential codegen bloat; on the original column it stays near-linear.)
+# characters into a new guard trigger.  Tree growth: each when/otherwise
+# references the running chain in BOTH branches, so the expression tree
+# DOUBLES per rule — 2^n leaf copies of the input column (16× at the current
+# 4 rules; guarding on the chained output would triple per level, 3^n).
+# Codegen dedupes unconditional subtrees but not conditional branches
+# (memory/catalyst-cse-pitfalls), so scrub_column falls back to the plain
+# unguarded chain (linear tree) beyond _MAX_GUARDED_RULES rules.
 _SCRUB_GUARDS = {
     "email": lambda c: c.contains("@"),
     "ipv4": lambda c: c.rlike("[0-9]\\.[0-9]"),
@@ -71,9 +75,19 @@ _SCRUB_GUARDS = {
 }
 
 
+# beyond this many rules the 2^n guarded tree outgrows the per-row regex
+# savings (codegen size, constant-folding time); the plain chain is linear
+_MAX_GUARDED_RULES = 8
+
+
 def scrub_column(col: Column) -> Column:
-    """Chained native regexp_replace over all scrub rules (guarded)."""
+    """Chained native regexp_replace over all scrub rules (guarded while the
+    rule list is short; plain linear chain beyond _MAX_GUARDED_RULES)."""
     out = col
+    if len(SCRUB_RULES) > _MAX_GUARDED_RULES:
+        for _, pattern, repl, _ in SCRUB_RULES:
+            out = F.regexp_replace(out, pattern, repl)
+        return out
     for name, pattern, repl, _ in SCRUB_RULES:
         out = F.when(
             _SCRUB_GUARDS[name](col), F.regexp_replace(out, pattern, repl)

@@ -16,6 +16,7 @@ cosine/embedding near-dup pairs (dedup family #5) reuse brute_force_pairs.
 
 from __future__ import annotations
 
+import logging
 from typing import Iterator, Optional
 
 import numpy as np
@@ -23,6 +24,42 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+_LOG = logging.getLogger(__name__)
+
+
+def _report_dropped_buckets(
+    sizes: DataFrame,
+    max_bucket_size: int,
+    stats_out: Optional[dict],
+    fn_name: str,
+) -> None:
+    """Never-silent cap accounting (same contract as dedup.minhash_lsh_pairs):
+    when the caller passes ``stats_out`` one small eager aggregation counts
+    the buckets/rows the cap excluded, logs a warning if any, and fills
+    ``{"dropped_buckets": n, "dropped_bucket_rows": n}``.  With
+    ``stats_out=None`` the plan stays fully lazy (the cap itself is always
+    documented in the docstring; degenerate buckets are near-identical
+    vectors already caught by exact/embedding dedup)."""
+    if stats_out is None:
+        return
+    dropped = (
+        sizes.where(F.col("bsz") > max_bucket_size)
+        .agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum("bsz"), F.lit(0)).alias("rows"),
+        )
+        .collect()[0]
+    )
+    if dropped["buckets"]:
+        _LOG.warning(
+            "%s: dropped %d mega-buckets (%d member rows) over "
+            "max_bucket_size=%d — near-identical clusters handled by exact "
+            "dedup",
+            fn_name, dropped["buckets"], dropped["rows"], max_bucket_size,
+        )
+    stats_out["dropped_buckets"] = dropped["buckets"]
+    stats_out["dropped_bucket_rows"] = dropped["rows"]
 
 
 def _cosine(a: str, b: str):
@@ -76,6 +113,7 @@ def brute_force_pairs(
     n_bands: int = 8,
     seed: int = 7,
     max_bucket_size: int = 1000,
+    stats_out: Optional[dict] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
 
@@ -84,6 +122,11 @@ def brute_force_pairs(
     nested-loop/cartesian plan anywhere — with the same mega-bucket cap as
     minhash LSH.  Recall at threshold 0.95 with 8 bands × 8 bits is ~99%
     (P[bit match] = 1 − θ/π = 0.899 at cos 0.95 → miss = (1−0.899⁸)⁸ ≈ 1%).
+
+    ``stats_out``: pass a dict to get never-silent cap accounting
+    (``dropped_buckets`` / ``dropped_bucket_rows`` + a warning log; costs one
+    small eager aggregation).  Also exported as ``cosine_near_pairs`` — the
+    truthful name for the default approximate path.
 
     ``exact=True`` keeps the all-pairs ``id_a < id_b`` form — a non-equi
     nested-loop join, O(n²): tests and small inputs only.
@@ -134,6 +177,7 @@ def brute_force_pairs(
         .select("id", "vec", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
     )
     sizes = bands.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("bsz"))
+    _report_dropped_buckets(sizes, max_bucket_size, stats_out, "cosine_near_pairs")
     bands = bands.join(sizes.where(F.col("bsz") <= max_bucket_size), ["band", "bval"])
     cand = (
         bands.alias("a")
@@ -151,6 +195,11 @@ def brute_force_pairs(
         cand.select("id_a", "id_b", _cosine("vec_a", "vec_b").alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# the honest name for the default (SRP-LSH-approximate) path; kept as an
+# alias so round-1/2 callers of brute_force_pairs keep working
+cosine_near_pairs = brute_force_pairs
 
 
 def duckdb_topk_sql(
@@ -341,11 +390,21 @@ def srp_lsh_topk(
     n_bits: int = 64,
     n_bands: int = 8,
     seed: int = 7,
+    max_bucket_size: int = 1000,
+    stats_out: Optional[dict] = None,
 ) -> DataFrame:
     """Approximate top-k: SRP signatures → banded bucket join → exact rerank.
 
     Recall is tunable via n_bands (more bands → more candidates).  Returns
     the same schema as brute_force_topk; tests measure recall against it.
+
+    Corpus-side buckets larger than ``max_bucket_size`` are dropped before
+    the query join — with a degenerate band value (e.g. near-zero vectors
+    all hashing alike) the uncapped candidate set is |bucket|·|queries in
+    bucket| per band, a scale-killer.  Same cap + ``stats_out`` reporting
+    contract as minhash_lsh_pairs / cosine_near_pairs (a dropped bucket's
+    members are near-identical to each other — they are embedding near-dups
+    by construction — so top-k quality loss is bounded to ties).
     """
     band_bits = n_bits // n_bands
     udf = srp_signature_udf(dim, n_bits, seed)
@@ -379,6 +438,11 @@ def srp_lsh_topk(
 
     cb = with_bands(corpus, "c")
     qb = with_bands(queries, "q")
+    csizes = cb.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("bsz"))
+    _report_dropped_buckets(csizes, max_bucket_size, stats_out, "srp_lsh_topk")
+    cb = cb.join(
+        csizes.where(F.col("bsz") <= max_bucket_size), ["band", "bval"]
+    ).drop("bsz")
     cand = (
         cb.join(qb, ["band", "bval"])
         .where(F.col("q_id") != F.col("c_id"))

@@ -18,8 +18,27 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
 
 TABLE_PREFIX = "table://"
+
+
+def _v1_fallback_applies(df: DataFrame, name: str, exc: Exception) -> bool:
+    """True when a failed DataFrameWriterV2 call should retry via the v1
+    insertInto path.  Spark phrases the v1-session-catalog rejection
+    differently across versions ("... is a v1 table ...", UNSUPPORTED_FEATURE
+    error classes), so the message sniff alone is brittle (ADVICE r02): any
+    AnalysisException against a table that RESOLVES in the session catalog is
+    eligible — the v1 writer will surface real problems (schema mismatch,
+    missing partitions) with its own error if the retry was wrong."""
+    if "v1 table" in str(exc):  # the known Spark 4.x phrasing — fast path
+        return True
+    if not isinstance(exc, AnalysisException):
+        return False
+    try:
+        return df.sparkSession.catalog.tableExists(name)
+    except Exception:
+        return False
 
 
 def read_corpus(spark: SparkSession, uri: str) -> DataFrame:
@@ -55,7 +74,7 @@ def write_results(
                 writer.append()
             return
         except Exception as exc:  # v1 session-catalog table → v1 writer
-            if "v1 table" not in str(exc):
+            if not _v1_fallback_applies(df, name, exc):
                 raise
         _v1_table_write(df, name, overwrite=(mode == "overwrite"))
         return
@@ -93,7 +112,7 @@ def append_lineage(df: DataFrame, uri: str) -> None:
             df.writeTo(name).append()
             return
         except Exception as exc:
-            if "v1 table" not in str(exc):
+            if not _v1_fallback_applies(df, name, exc):
                 raise
         _v1_table_write(df, name, overwrite=False)
         return

@@ -58,12 +58,18 @@ def run_level(cpus: int) -> dict:
     affinity mask is the honest emulation of an N-core executor node (the
     unit the north rule scales by)."""
     _wait_quiet()
+    # a configured level above the host CPU count would make the affinity
+    # start index negative and abort the run — clamp (the level then just
+    # measures the full host, which is the best available approximation)
+    n_host = os.cpu_count() or 32
+    if cpus > n_host:
+        print(f"clamping level {cpus} to host cpu count {n_host}", file=sys.stderr)
+        cpus = n_host
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["FLD_BENCH_QUERIES"] = "pipeline_corpus"
     # pin to the TOP of the CPU range: CPU 0 (and friends) service IRQs and
     # kernel housekeeping, which a 2-CPU mask cannot absorb
-    n_host = os.cpu_count() or 32
     mask = f"{n_host - cpus}-{n_host - 1}"
     out = subprocess.run(
         ["taskset", "-c", mask, sys.executable, str(REPO / "bench.py")],
