@@ -81,6 +81,72 @@ def combined_scores_udf(
     return _udf
 
 
+def gated_scores_udf(
+    model_path: str,
+    lm_path: Optional[str] = None,
+    *,
+    normalize: bool = True,
+    max_input_length: Optional[int] = DEFAULT_MAX_INPUT_LENGTH,
+    doc_cap: int = DEFAULT_DOC_CAP,
+):
+    """(short_text, content, skip) → struct<lang, lang_score, perplexity>
+    where ``skip=true`` rows (script-heuristic-confident, labeled natively
+    upstream) bypass the fastText predictor entirely: their lang/lang_score
+    come back NULL (filled natively) and only perplexity is computed.
+
+    The predictor runs on the non-skipped SUBSET; the blocked fixed-shape
+    GEMM makes scores bit-identical in any batch shape, so subsetting
+    preserves exact parity for the rows that are scored.  Skipped rows also
+    ship a NULL short column (validity bit only in Arrow), so the per-row
+    Arrow cost drops to len(content) + 1 bit for gated rows."""
+
+    @pandas_udf("struct<lang:string, lang_score:float, perplexity:double>")
+    def _udf(
+        batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        model = _get_worker_model(model_path)
+        lm = CharTrigramLM.load(lm_path) if lm_path else default_lm()
+        labels = np.asarray(model.labels_stripped, dtype=object)
+        for short, content, skip in batches:
+            n = len(short)
+            mask = ~skip.fillna(False).to_numpy(dtype=bool)  # rows to score
+            lang = np.full(n, None, dtype=object)
+            score32 = np.full(n, np.nan, dtype=np.float32)
+            if mask.any():
+                sub = short[mask].reset_index(drop=True)
+                prepared = normalize_series(
+                    preprocess_series(sub, max_input_length), normalize
+                )
+                logp, valid = model.label_log_probs(prepared.tolist())
+                top = logp.argmax(axis=1)
+                score = np.exp(logp[np.arange(logp.shape[0]), top])
+                np.minimum(score, 1.0, out=score)
+                sub_lang = labels[top]
+                sub_lang[~valid] = None
+                sub_score = score.astype(np.float32)
+                sub_score[~valid] = np.nan
+                lang[mask] = sub_lang
+                score32[mask] = sub_score
+            ppl = lm.perplexity(content.tolist(), doc_cap=doc_cap)
+            out = pd.DataFrame(
+                {
+                    "lang": lang,
+                    "lang_score": pd.array(score32, dtype="float32"),
+                    "perplexity": ppl,
+                }
+            )
+            out.loc[np.isnan(score32), "lang_score"] = None
+            yield out
+
+    return _udf
+
+
+# script classes the heuristic may short-circuit: unambiguous script → one
+# fastText label.  latin/cyrillic/other are EXCLUDED by construction (many
+# languages share those scripts — the model must disambiguate).
+SCRIPT_GATE_LANGS = ("ja", "ko", "zh")
+
+
 def with_scores(
     df: DataFrame,
     text_col: str = "content",
@@ -90,24 +156,77 @@ def with_scores(
     normalize: bool = True,
     max_input_length: int = DEFAULT_MAX_INPUT_LENGTH,
     doc_cap: int = DEFAULT_DOC_CAP,
+    script_gate: bool = False,
 ) -> DataFrame:
-    """Adds lang_top, lang_score, perplexity with a single Python crossing."""
+    """Adds lang_top, lang_score, perplexity with a single Python crossing.
+
+    ``script_gate=True`` (default OFF): a native script heuristic
+    (textstats.script_lang_guess) labels unambiguous-script rows
+    (SCRIPT_GATE_LANGS: kana→ja, hangul→ko, han→zh) BEFORE the UDF; those
+    rows skip the fastText predictor (lang_top = heuristic label,
+    lang_score = 1.0) and ship a NULL short column — on CJK-heavy corpora
+    this cuts both predictor compute and Arrow bytes substantially.  The
+    union-based routing the same idea usually takes (split → UDF on the
+    ambiguous half → union) is NOT used: perplexity needs every row in the
+    same fused UDF anyway, so in-pass masking gets the identical saving with
+    no second scan/shuffle and keeps the plan a single ArrowEvalPython.
+    Decision parity: where the heuristic is confident-and-correct the
+    keep/drop decision and lang_top match the ungated pipeline exactly
+    (lang_score becomes 1.0 — still above any confidence threshold);
+    tests/test_pipeline.py asserts gate-on ≡ gate-off on the fixture corpus.
+    """
     if model_path is None:
         from ..resources import resolve_lite_model_path
 
         model_path = str(resolve_lite_model_path())
-    udf = combined_scores_udf(
+    short = langid_short_col(text_col, max_input_length)
+    if not script_gate:
+        udf = combined_scores_udf(
+            model_path,
+            lm_path,
+            normalize=normalize,
+            max_input_length=max_input_length,
+            doc_cap=doc_cap,
+        )
+        return (
+            df.withColumn("__sc", udf(short, F.col(text_col)))
+            .withColumn("lang_top", F.col("__sc.lang"))
+            .withColumn("lang_score", F.col("__sc.lang_score"))
+            .withColumn("perplexity", F.col("__sc.perplexity"))
+            .drop("__sc")
+        )
+    from .textstats import script_lang_guess
+
+    udf = gated_scores_udf(
         model_path,
         lm_path,
         normalize=normalize,
         max_input_length=max_input_length,
         doc_cap=doc_cap,
     )
-    short = langid_short_col(text_col, max_input_length)
+    guess = script_lang_guess(text_col)
+    # NULL content → all counts NULL → every when() falls through → 'other'
+    # → not confident → scored with a NULL short (same 'en' EOS prediction
+    # as the ungated path)
+    confident = guess.isin(*SCRIPT_GATE_LANGS)
+    df = df.withColumn("__guess", F.when(confident, guess))
+    skip = F.col("__guess").isNotNull()
     return (
-        df.withColumn("__sc", udf(short, F.col(text_col)))
-        .withColumn("lang_top", F.col("__sc.lang"))
-        .withColumn("lang_score", F.col("__sc.lang_score"))
+        df.withColumn(
+            "__sc",
+            udf(
+                F.when(skip, F.lit(None).cast("string")).otherwise(short),
+                F.col(text_col),
+                skip,
+            ),
+        )
+        .withColumn("lang_top", F.coalesce(F.col("__guess"), F.col("__sc.lang")))
+        .withColumn(
+            "lang_score",
+            F.when(skip, F.lit(1.0).cast("float")).otherwise(
+                F.col("__sc.lang_score")
+            ),
+        )
         .withColumn("perplexity", F.col("__sc.perplexity"))
-        .drop("__sc")
+        .drop("__sc", "__guess")
     )

@@ -50,6 +50,10 @@ class PipelineConfig:
     lm_path: Optional[str] = None
     doc_cap: int = DEFAULT_DOC_CAP
     quality: QualityConfig = QualityConfig()
+    # native script pre-pass routes unambiguous-script rows (ja/ko/zh) around
+    # the fastText predictor — see operators.scoring.with_scores.  Default
+    # OFF: lang_score semantics change (heuristic rows report 1.0).
+    script_gate: bool = False
 
 
 def with_partitioning(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -85,7 +89,8 @@ def score_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFram
     """
     cfg = cfg or PipelineConfig()
     df = with_scores(
-        df, "content", cfg.model_path, cfg.lm_path, doc_cap=cfg.doc_cap
+        df, "content", cfg.model_path, cfg.lm_path,
+        doc_cap=cfg.doc_cap, script_gate=cfg.script_gate,
     )
     df = with_quality_metrics(df, "content")
     df = with_decision(df, cfg.quality, "content")

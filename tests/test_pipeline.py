@@ -136,3 +136,61 @@ def test_spark_corpus_equals_local(spark):
     for row, (_, lrow) in zip(sp, loc.iterrows()):
         assert row["content"] == lrow["content"]
         assert row["commit"] == lrow["commit"]
+
+
+def test_script_gate_decision_parity(spark):
+    """VERDICT r02 #6: script-gated langid (native ja/ko/zh pre-pass routing
+    around the fastText predictor) must preserve lang_top, keep and
+    drop_reasons exactly on the fixture corpus, where the heuristic is
+    confident-and-correct; and the gate must actually fire (CJK payloads)."""
+    from pyspark.sql import functions as F
+
+    corpus = corpus_df(spark, 300, partitions=4)
+    cols = lambda out: (
+        out.select(
+            "repo", "path", "lang_top", "keep",
+            F.array_join("drop_reasons", ",").alias("dr"),
+        ).collect()
+    )
+    base = run_pipeline(corpus, PipelineConfig(n_buckets=8, n_salts=2))
+    gated = run_pipeline(
+        corpus, PipelineConfig(n_buckets=8, n_salts=2, script_gate=True)
+    )
+    a = sorted(tuple(r) for r in cols(base))
+    b = sorted(tuple(r) for r in cols(gated))
+    assert a == b
+    # the gate fired: heuristic-labeled rows carry lang_score exactly 1.0
+    fired = gated.where(
+        (F.col("lang_score") == 1.0) & F.col("lang_top").isin("ja", "zh", "ko")
+    ).count()
+    assert fired > 0
+
+
+def test_script_gate_udf_subset_and_null_parity(spark):
+    """Gated scoring: unambiguous-script rows skip the predictor (score
+    exactly 1.0, heuristic label); ambiguous and NULL rows are bit-identical
+    to the ungated path ('en' EOS prediction for NULL/empty — the canary)."""
+    from pyspark.sql import functions as F
+
+    from fast_langdetect_spark.operators.scoring import with_scores
+
+    rows = [
+        (0, "このスクリプトはログを解析します。出力は日付ごとにまとめられます。"),
+        (1, "这个模块负责读取配置文件并合并默认值。支持三种格式。"),
+        (2, "def mean(values):\n    return sum(values) / len(values)"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    pick = lambda out: {
+        r["doc_id"]: (r["lang_top"], r["lang_score"], r["perplexity"])
+        for r in out.collect()
+    }
+    base = pick(with_scores(df))
+    gated = pick(with_scores(df, script_gate=True))
+    assert gated[0] == ("ja", 1.0, base[0][2])
+    assert gated[1] == ("zh", 1.0, base[1][2])
+    # ambiguous latin + null + empty rows: bit-identical to ungated
+    for i in (2, 3, 4):
+        assert gated[i] == base[i]
+    assert base[3][0] == "en" and abs(base[3][1] - 0.1245) < 0.01

@@ -1,0 +1,107 @@
+"""End-to-end spark-submit packaging test (VERDICT r02 #7; SURVEY M4).
+
+Exercises the north-rule deployment shape that jobs/run_pipeline.py documents:
+
+    zip -r fld_spark.zip fast_langdetect_spark
+    spark-submit --py-files fld_spark.zip --files lid.176.ftz jobs/run_pipeline.py ...
+
+The job runs in a SUBPROCESS from a scratch cwd that contains only the job
+file, the zip and the corpus — the package must import from the --py-files
+zip and the model must resolve through SparkFiles (--files), not the repo
+checkout or env overrides.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+MODEL = Path("/root/reference/src/fast_langdetect/resources/lid.176.ftz")
+
+
+def _spark_submit() -> str:
+    import pyspark
+
+    cand = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    if cand.exists():
+        return str(cand)
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    pytest.skip("no spark-submit on this host")
+
+
+def test_spark_submit_py_files_package(tmp_path):
+    # 1. package zip (exactly the documented shape, minus bytecode caches)
+    zip_path = tmp_path / "fld_spark.zip"
+    pkg = REPO / "fast_langdetect_spark"
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for f in sorted(pkg.rglob("*.py")):
+            zf.write(f, f.relative_to(REPO))
+
+    # 2. tiny deterministic corpus parquet (no Spark needed to write it)
+    sys.path.insert(0, str(REPO))
+    from fast_langdetect_spark.sources.synth import corpus_pandas
+
+    corpus = tmp_path / "corpus.parquet"
+    corpus_pandas(40).to_parquet(corpus)
+
+    # 3. job file copied OUT of the repo so its sys.path.insert points at the
+    # scratch dir — the package is only reachable via the --py-files zip
+    job_dir = tmp_path / "jobs"
+    job_dir.mkdir()
+    job = job_dir / "run_pipeline.py"
+    job.write_text((REPO / "jobs" / "run_pipeline.py").read_text())
+
+    out_path, lin_path = tmp_path / "out", tmp_path / "lineage"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("FLD_SPARK_MODEL_PATH", "PYTHONPATH")
+    }
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env["FLD_SPARK_DRIVER_MEM"] = "2g"
+    res = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", "local[2]",
+            "--py-files", str(zip_path),
+            "--files", str(MODEL),
+            str(job),
+            "--input", str(corpus),
+            "--output", str(out_path),
+            "--lineage", str(lin_path),
+            "--buckets", "4", "--salts", "2", "--cpus", "2",
+        ],
+        capture_output=True, text=True, cwd=tmp_path, env=env, timeout=150,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
+    assert lines, (res.stdout[-2000:], res.stderr[-2000:])
+    summary = json.loads(lines[-1])
+    assert summary["rows_processed"] == 40
+    assert summary["buckets_processed"] >= 1
+    assert summary["resumed"] is False
+
+    con = duckdb.connect()
+    n_out = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT content_sha256) "
+        f"FROM read_parquet('{out_path}/**/*.parquet', hive_partitioning=1)"
+    ).fetchone()
+    assert n_out[0] == 40
+    n_lin = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{lin_path}/**/*.parquet', "
+        f"hive_partitioning=1)"
+    ).fetchone()[0]
+    assert n_lin >= 1
+    con.close()
