@@ -49,7 +49,11 @@ def q_pipeline(spark, corpus_path: str):
     from fast_langdetect_spark.plans.pipeline import PipelineConfig, run_pipeline
 
     df = spark.read.parquet(corpus_path)
-    out = run_pipeline(df, PipelineConfig(n_buckets=64, n_salts=8, salt_mode="all"))
+    # n_salts=64: the mega-repo (30% of rows) must split into ~task-sized
+    # salt groups — at 8 salts its 19k-row groups straggled ~10 s at 2–8
+    # busy cores (A/B: wall 24 s → 13 s, occupancy 0.39 → 0.67); sizing rule
+    # in plans/pipeline.with_partitioning
+    out = run_pipeline(df, PipelineConfig(n_buckets=64, n_salts=64, salt_mode="all"))
     # force full evaluation of every output column incl. scrubbed text
     return out.select(
         F.count(F.lit(1)).alias("n"),
@@ -137,6 +141,64 @@ def _external_busy_cores(interval: float = 1.0) -> float:
     return max(0.0, ((b1 - b0) - (t1 - t0)) / hz / interval)
 
 
+_CANARY_WORK = 400  # matmuls of 256×256 fp32 — ~60 ms on quiet silicon
+
+
+def _canary_sec() -> float:
+    """Calibrated single-thread spin canary: wall time for a FIXED pure-CPU
+    workload.  The sandbox host carries hypervisor-level co-tenant load that
+    is INVISIBLE to /proc/stat (vCPU preemption is charged to whatever guest
+    thread was current — it inflates both wall AND our cpu_sec and sails
+    through the external-load gate).  A fixed workload's wall time is the
+    direct measure of the silicon share this guest actually got; compare
+    across runs/levels to detect polluted windows."""
+    import numpy as np
+
+    x = np.random.RandomState(0).rand(256, 256).astype("float32")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(_CANARY_WORK):
+            x @ x
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+class _MidRunMonitor:
+    """Samples EXTERNAL (co-tenant, /proc-visible) busy cores every ~2 s
+    while a timed query runs; mean/max let the artifact self-describe and
+    drive the pollution retry (VERDICT r02 #2)."""
+
+    def __init__(self, interval: float = 2.0):
+        import threading
+
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._interval = interval
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            self.samples.append(_external_busy_cores(min(self._interval, 1.0)))
+            self._stop.wait(self._interval - 1.0 if self._interval > 1.0 else 0)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join()
+
+    @property
+    def mean(self) -> float:
+        return round(sum(self.samples) / max(len(self.samples), 1), 2)
+
+    @property
+    def peak(self) -> float:
+        return round(max(self.samples, default=0.0), 2)
+
+
 def _wait_quiet(limit: float = 1.0, timeout: float = 240.0) -> float:
     """Gate on EXTERNAL (co-tenant) CPU load before a timed run (CLAUDE.md
     rule: co-tenant bursts inflate wall times up to 2.7×).  Never blocks
@@ -181,7 +243,11 @@ def main() -> None:
     rows: dict[str, int] = {}
     loads: dict[str, float] = {}
     cpu_secs: dict[str, float] = {}
+    mid_loads: dict[str, float] = {}
+    mid_peaks: dict[str, float] = {}
+    canaries: dict[str, float] = {}
     hz = os.sysconf("SC_CLK_TCK")
+    canary_floor = _canary_sec()  # best silicon share seen this invocation
 
     all_queries = [
         ("pipeline_corpus", lambda: q_pipeline(spark, corpus_path)),
@@ -189,26 +255,39 @@ def main() -> None:
         ("quality_native", lambda: q_quality_native(spark, sf_dir)),
         ("scrub_docs", lambda: q_scrub_docs(spark, sf_dir)),
     ]
-    retries = int(os.environ.get("FLD_BENCH_RETRIES", "1"))
+    retries = int(os.environ.get("FLD_BENCH_RETRIES", "2"))
     for name, fn in all_queries:
         if selected is not None and name not in selected:
             continue
-        best, best_load, best_cpu, res = None, None, None, None
+        best = None
+        res = None
         for attempt in range(1 + retries):
             load = _wait_quiet()
+            canary = _canary_sec()
+            canary_floor = min(canary_floor, canary)
             c0 = _tree_cpu_jiffies()
             t0 = time.time()
-            res = fn()
+            with _MidRunMonitor() as mon:
+                res = fn()
             dt = time.time() - t0
             cpu = (_tree_cpu_jiffies() - c0) / hz
-            if best is None or dt < best:
-                best, best_load, best_cpu = dt, load, cpu
-            if load <= 1.0 and attempt == 0:
-                break  # quiet first attempt — no retry needed
-        timings[name] = round(best, 3)
+            if best is None or dt < best[0]:
+                best = (dt, load, cpu, mon.mean, mon.peak, canary)
+            # retry only a polluted first attempt: visible co-tenant load at
+            # the gate OR mid-run, or an inflated spin canary (invisible
+            # hypervisor co-tenancy — see _canary_sec)
+            polluted = (
+                load > 1.0 or mon.peak > 1.0 or canary > 1.25 * canary_floor
+            )
+            if not polluted:
+                break  # keep retrying only while attempts come back polluted
+        timings[name] = round(best[0], 3)
         rows[name] = res["n"]
-        loads[name] = best_load
-        cpu_secs[name] = round(best_cpu, 1)
+        loads[name] = best[1]
+        cpu_secs[name] = round(best[2], 1)
+        mid_loads[name] = best[3]
+        mid_peaks[name] = best[4]
+        canaries[name] = best[5]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -222,6 +301,9 @@ def main() -> None:
                 "cpus": cpus,
                 "rows": rows,
                 "external_load_cores": loads,
+                "mid_external_load": mid_loads,
+                "mid_external_peak": mid_peaks,
+                "canary_sec": canaries,
                 "cpu_sec": cpu_secs,
                 "files_per_sec": (
                     round(BENCH_CORPUS_ROWS / timings["pipeline_corpus"], 1)
