@@ -365,6 +365,51 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate-cluster resolution: token-Jaccard near-dup pairs
+    → connected components (iterative min-label propagation, shuffle-bounded
+    by the edge list) → (cluster_id, size, min-id representative).  Oracle:
+    the same pair CTE closed with a DuckDB recursive CTE."""
+    from fast_langdetect_spark.operators.clustering import duplicate_clusters
+    from fast_langdetect_spark.operators.dedup import token_jaccard_pairs
+
+    pairs = token_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return duplicate_clusters(pairs).select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        "is_representative",
+    )
+
+
+def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy char-budget shard packing, parallel per source bucket
+    (window cumsum → integer-division shard index; no global sort)."""
+    from fast_langdetect_spark.operators.sampling import pack_shards
+
+    return pack_shards(
+        _docs(spark, sf_dir), size_col="n_chars", part_col="source",
+        order_col="doc_id", shard_budget=2000,
+    ).select("doc_id", "source", "shard_idx", "shard_id")
+
+
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota cap (two-phase salted exact rank) + deterministic
+    sha256-prefix train/val/test split."""
+    from fast_langdetect_spark.operators.sampling import (
+        content_split_column,
+        stratified_cap,
+    )
+
+    capped = stratified_cap(
+        _docs(spark, sf_dir), strata_col="lang", order_col="doc_id", cap=40
+    )
+    return capped.select(
+        "doc_id", "lang", "strata_rank",
+        content_split_column("text").alias("split"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "langid_top1": _q_langid_top1,
@@ -389,6 +434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "split_by_language": _q_split_by_language,
         "windowed_events": _q_windowed_events,
+        "dup_clusters": _q_dup_clusters,
+        "pack_shards": _q_pack_shards,
+        "corpus_sample": _q_corpus_sample,
     }
 
 
@@ -844,7 +892,10 @@ def oracle_sql() -> dict[str, str]:
         f"AND NOT {m['is_generated']} AND NOT {m['has_toxicity']})"
     )
     from fast_langdetect_spark.operators.dedup import duckdb_token_jaccard_sql
+    from fast_langdetect_spark.operators.sampling import duckdb_content_split_sql
     from fast_langdetect_spark.operators.similarity import duckdb_topk_sql
+
+    split_case = duckdb_content_split_sql("text")
     from fast_langdetect_spark.operators.textstats import (
         duckdb_fingerprint_sql,
         duckdb_textstat_sql,
@@ -924,6 +975,39 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_decisions": (
             f"SELECT doc_id, {keep_rules} AS keep_rules, "
             "sha256(text) AS content_sha256 FROM documents"
+        ),
+        # transitive closure of the token-Jaccard pair graph: reachability
+        # via a recursive CTE over symmetric edges; min reachable id = the
+        # component label min-label propagation converges to
+        "dup_clusters": (
+            "WITH RECURSIVE pairs AS ("
+            + duckdb_token_jaccard_sql(threshold=0.8)
+            + "), edges AS ("
+            "  SELECT id_a AS src, id_b AS dst FROM pairs"
+            "  UNION SELECT id_b, id_a FROM pairs"
+            "), cc AS ("
+            "  SELECT src AS id, src AS label FROM edges"
+            "  UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id"
+            "), comp AS ("
+            "  SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id"
+            ") SELECT id AS doc_id, cluster_id, "
+            "COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size, "
+            "(id = cluster_id) AS is_representative FROM comp"
+        ),
+        "pack_shards": (
+            "SELECT doc_id, source, shard_idx, "
+            "source || '/' || CAST(shard_idx AS VARCHAR) AS shard_id FROM ("
+            "  SELECT doc_id, source, CAST(COALESCE(SUM(n_chars) OVER ("
+            "    PARTITION BY source ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "    // 2000 AS INT) AS shard_idx"
+            "  FROM documents)"
+        ),
+        "corpus_sample": (
+            f"SELECT doc_id, lang, strata_rank, {split_case} AS split FROM ("
+            "  SELECT doc_id, lang, text, CAST(ROW_NUMBER() OVER ("
+            "    PARTITION BY lang ORDER BY doc_id) AS INT) AS strata_rank"
+            "  FROM documents) WHERE strata_rank <= 40"
         ),
     }
     base.update(_signature_cte_oracles())

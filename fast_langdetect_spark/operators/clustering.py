@@ -1,0 +1,106 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+The dedup operators (dedup.py, similarity.py) emit PAIRS; production
+training-data pipelines then need the transitive closure — "these 40 docs
+are all one boilerplate family, keep exactly one" — i.e. connected
+components over the pair graph, with a deterministic representative per
+component (min doc id, matching exact_duplicates' min-id-survives rule).
+
+Algorithm: iterative min-label propagation (public algorithm; the
+alternating small-star/large-star variant is Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014).  Each round every node
+adopts the smallest label among itself and its neighbours; fixpoint =
+components labelled by their minimum member id.
+
+Scale shape: each round is one shuffle of the EDGE list (join on src +
+groupBy dst) — never the corpus.  Near-dup graphs are tiny relative to the
+corpus (pairs above threshold) and their components are dense near-cliques
+(diameter 2-4: members all overlap the same shingle mass), so plain
+min-propagation converges in a handful of rounds; pathological long-chain
+components would need the small-star/large-star variant, but upstream
+bucket caps (dedup.py max_bucket_size) bound component size before this
+operator ever sees them.  Lineage is truncated every round with an eager
+``localCheckpoint`` so the loop's plan does not grow (same hygiene as
+minhash_lsh_pairs), which also makes the operator EAGER.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``edges``; cluster_id =
+    the minimum node id of the component.  EAGER (checkpoints per round)."""
+    e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # fixed input for every round
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.withColumnRenamed("label", "old")
+            .join(nbr_min, "id", "left")
+            .select(
+                "id",
+                "old",
+                F.least(F.col("old"), F.coalesce("nbr_label", F.col("old"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = new.where(F.col("label") < F.col("old")).limit(1).count() == 0
+        labels = new.select("id", "label")
+        if converged:
+            _LOG.info("connected_components converged after %d rounds", it + 1)
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds the cap; raise max_iter or cap "
+            "upstream bucket sizes"
+        )
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+def duplicate_clusters(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """connected_components plus per-cluster size and the keep flag
+    (is_representative = min-id member, mirroring exact_duplicates)."""
+    cc = connected_components(edges, id_a, id_b, max_iter=max_iter)
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("is_representative"),
+    )

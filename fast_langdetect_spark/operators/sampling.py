@@ -1,0 +1,124 @@
+"""Corpus shaping operators: shard packing, stratified capping, content
+splits.  The steps between "filtered corpus" and "training shards" in a
+large-scale data pipeline — all 100% native Catalyst, each with a DuckDB
+twin for the driver oracle.
+
+Scale shapes:
+  * pack_shards     — window over (bucket) partitions: every bucket packs
+                      independently in parallel; one sort per bucket, never
+                      a global sort.  At deployment scale the bucket is the
+                      pipeline's part_bucket (plans/pipeline.py), already
+                      sized to O(corpus / n_buckets).
+  * stratified_cap  — two-phase exact top-cap: a salted local rank prunes
+                      each stratum to n_salts*cap rows BEFORE the per-stratum
+                      global rank, so a mega-stratum (90%-English corpus)
+                      never funnels through one reducer.  Result is
+                      bit-identical to the naive single-window form.
+  * content_split   — deterministic sha256-prefix train/val/test assignment;
+                      pure map, no shuffle, reproducible across engines
+                      (sha256 hex is identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_shards(
+    df: DataFrame,
+    *,
+    size_col: str = "n_chars",
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    shard_budget: int = 100_000,
+) -> DataFrame:
+    """Greedy sequential packing: within each ``part_col`` bucket, documents
+    (ordered by ``order_col``) are assigned to shards of ≈ ``shard_budget``
+    total ``size_col`` units.  A document's shard index is
+    floor(preceding_size / budget) — the standard concat-then-cut packing, so
+    a shard overflows its budget by at most one document."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    preceding = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return (
+        df.withColumn("__pack_preceding", preceding)
+        .withColumn(
+            "shard_idx",
+            F.expr(f"CAST(__pack_preceding DIV {int(shard_budget)} AS INT)"),
+        )
+        .withColumn(
+            "shard_id",
+            F.concat_ws("/", F.col(part_col), F.col("shard_idx").cast("string")),
+        )
+        .drop("__pack_preceding")
+    )
+
+
+def stratified_cap(
+    df: DataFrame,
+    *,
+    strata_col: str = "lang",
+    order_col: str = "doc_id",
+    cap: int = 50,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep the first ``cap`` rows of each stratum in ``order_col`` order
+    (per-language quotas, domain caps, …).
+
+    Exact two-phase form: rows are first ranked within (stratum, salt) and
+    pruned to ``cap`` each — sound, because a row in the stratum's global
+    top-``cap`` has salt-local rank ≤ its global rank ≤ cap — then the
+    survivors (≤ n_salts*cap per stratum) take the true per-stratum rank.
+    The heavy first window is parallel across n_salts*|strata| keys."""
+    salt = F.pmod(F.hash(F.col(order_col)), F.lit(n_salts))
+    w_local = Window.partitionBy(F.col(strata_col), salt).orderBy(order_col)
+    pruned = (
+        df.withColumn("__local_rank", F.row_number().over(w_local))
+        .where(F.col("__local_rank") <= cap)
+        .drop("__local_rank")
+    )
+    w_global = Window.partitionBy(strata_col).orderBy(order_col)
+    return (
+        pruned.withColumn("strata_rank", F.row_number().over(w_global))
+        .where(F.col("strata_rank") <= cap)
+    )
+
+
+def content_split_column(
+    text_col: str = "text",
+    *,
+    val_hex: Sequence[str] = ("0",),
+    test_hex: Sequence[str] = ("1",),
+) -> Column:
+    """train/val/test label from the first hex digit of sha256(text):
+    deterministic, content-addressed (a byte-identical doc always lands in
+    the same split, even across dedup reshuffles), engine-portable.  Default
+    1/16 val + 1/16 test.  Docstring twin: duckdb_content_split_sql."""
+    first = F.substring(F.sha2(F.col(text_col), 256), 1, 1)
+    return (
+        F.when(first.isin(*val_hex), F.lit("val"))
+        .when(first.isin(*test_hex), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def duckdb_content_split_sql(
+    text_col: str = "text",
+    *,
+    val_hex: Sequence[str] = ("0",),
+    test_hex: Sequence[str] = ("1",),
+) -> str:
+    """DuckDB twin of content_split_column (sha256 hex matches Spark's)."""
+    v = ", ".join(f"'{h}'" for h in val_hex)
+    t = ", ".join(f"'{h}'" for h in test_hex)
+    return (
+        f"CASE WHEN substr(sha256({text_col}), 1, 1) IN ({v}) THEN 'val' "
+        f"WHEN substr(sha256({text_col}), 1, 1) IN ({t}) THEN 'test' "
+        f"ELSE 'train' END"
+    )

@@ -1,0 +1,143 @@
+"""Tests for corpus-shaping operators: connected components / duplicate
+clustering, shard packing, stratified capping, content splits."""
+
+import duckdb
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark.operators.clustering import (
+    connected_components,
+    duplicate_clusters,
+)
+from fast_langdetect_spark.operators.sampling import (
+    content_split_column,
+    duckdb_content_split_sql,
+    pack_shards,
+    stratified_cap,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_connected_components_basic(spark):
+    # path 1-2-3, isolated pair 10-11, triangle 20-21-22 bridged to 23
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22), (22, 23)],
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_edge_direction_irrelevant(spark):
+    fwd = connected_components(_edges(spark, [(5, 1), (1, 9), (9, 2)]))
+    got = {r["id"]: r["cluster_id"] for r in fwd.collect()}
+    assert set(got.values()) == {1}  # min id labels the whole chain
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # a 4-node path needs >1 min-propagation round; max_iter=1 must raise
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges(spark, [(2, 3), (3, 4), (4, 5)]), max_iter=1)
+
+
+def test_duplicate_clusters_representative_and_size(spark):
+    out = duplicate_clusters(_edges(spark, [(7, 3), (3, 9), (50, 51)])).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[3]["cluster_size"] == 3 and by_id[3]["is_representative"]
+    assert by_id[7]["cluster_size"] == 3 and not by_id[7]["is_representative"]
+    assert by_id[50]["cluster_size"] == 2 and by_id[50]["is_representative"]
+    assert sum(r["is_representative"] for r in out) == 2  # one per cluster
+
+
+def test_pack_shards_budget_and_order(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    budget = 2000
+    packed = pack_shards(
+        df, size_col="n_chars", part_col="source", order_col="doc_id",
+        shard_budget=budget,
+    )
+    per_shard = (
+        packed.groupBy("source", "shard_idx")
+        .agg(F.sum("n_chars").alias("total"), F.max("n_chars").alias("biggest"))
+        .collect()
+    )
+    assert len(per_shard) > 20  # budget actually splits sources into shards
+    for r in per_shard:
+        # greedy floor-packing: a shard exceeds budget by < one document
+        assert r["total"] < budget + r["biggest"]
+    # shard indices are contiguous from 0 within each source
+    idx = {}
+    for r in per_shard:
+        idx.setdefault(r["source"], []).append(r["shard_idx"])
+    for source, ids in idx.items():
+        assert sorted(ids) == list(range(len(ids))), source
+    # a shard never splits the doc_id order: max(doc_id) of shard i is below
+    # min(doc_id) of shard i+1 within a source
+    rows = packed.select("source", "shard_idx", "doc_id").collect()
+    bounds = {}
+    for r in rows:
+        k = (r["source"], r["shard_idx"])
+        lo, hi = bounds.get(k, (r["doc_id"], r["doc_id"]))
+        bounds[k] = (min(lo, r["doc_id"]), max(hi, r["doc_id"]))
+    for (source, i), (_, hi) in bounds.items():
+        nxt = bounds.get((source, i + 1))
+        if nxt is not None:
+            assert hi < nxt[0]
+
+
+def test_stratified_cap_matches_naive_single_window(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    two_phase = stratified_cap(
+        df, strata_col="lang", order_col="doc_id", cap=40, n_salts=16
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    naive = (
+        df.withColumn("strata_rank", F.row_number().over(w))
+        .where(F.col("strata_rank") <= 40)
+    )
+    a = sorted((r["doc_id"], r["strata_rank"]) for r in two_phase.collect())
+    b = sorted((r["doc_id"], r["strata_rank"]) for r in naive.collect())
+    assert a == b  # exactness of the salted two-phase prune
+    counts = {
+        r["lang"]: r["n"]
+        for r in two_phase.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts.values()) == {40}  # every stratum has >=64 rows: capped
+    # cap above the smallest stratum: under-cap strata keep every row
+    counts100 = {
+        r["lang"]: r["n"]
+        for r in stratified_cap(
+            df, strata_col="lang", order_col="doc_id", cap=100, n_salts=16
+        ).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts100["en"] == 100  # 218 docs → capped
+    assert counts100["fr"] == 64  # 64 docs → untouched
+
+
+def test_content_split_matches_duckdb_twin(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in df.select(
+            "doc_id", content_split_column("text").alias("split")
+        ).collect()
+    }
+    con = duckdb.connect()
+    exp = {
+        doc_id: split
+        for doc_id, split in con.sql(
+            f"SELECT doc_id, {duckdb_content_split_sql('text')} AS split "
+            f"FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    }
+    assert got == exp
+    assert set(got.values()) == {"train", "val", "test"}
+    # content-addressed: identical text always lands in the same split
+    frac_train = sum(v == "train" for v in got.values()) / len(got)
+    assert frac_train > 0.75  # 14/16 expected
