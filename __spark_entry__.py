@@ -410,6 +410,36 @@ def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation plan (plans/curation.py) in rules_only mode so
+    EVERY stage — rules keep, scrub, exact dedup over scrubbed content,
+    sha-prefix split, budgeted shard packing — is DuckDB-oracle-checked as
+    one composed chain.  The default mode adds the UDF langid/ppl gates on
+    the identical plan shape (covered by pipeline_full)."""
+    from fast_langdetect_spark.plans.curation import CurationConfig, curate
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig
+
+    corpus = _docs(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").alias("content"),
+    )
+    out = curate(
+        corpus,
+        CurationConfig(
+            pipeline=PipelineConfig(n_buckets=16),
+            rules_only=True,
+            shard_budget=2000,
+            shard_part_cols=("split", "repo"),
+            shard_order_cols=("repo", "path"),
+        ),
+    )
+    return out.select(
+        "repo", "path", "dedup_sha", "split", "n_chars_scrubbed",
+        "shard_idx", "shard_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "langid_top1": _q_langid_top1,
@@ -437,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "pack_shards": _q_pack_shards,
         "corpus_sample": _q_corpus_sample,
+        "curation": _q_curation,
     }
 
 
@@ -1008,6 +1039,32 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT doc_id, lang, text, CAST(ROW_NUMBER() OVER ("
             "    PARTITION BY lang ORDER BY doc_id) AS INT) AS strata_rank"
             "  FROM documents) WHERE strata_rank <= 40"
+        ),
+        # the full curation chain in rules_only mode: rules keep → scrub →
+        # exact dedup on the scrubbed text → sha-prefix split → packing
+        "curation": (
+            "WITH kept AS ("
+            f"  SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path, "
+            f"  {scrub} AS scrub FROM documents WHERE {keep_rules}"
+            "), dedup AS ("
+            "  SELECT repo, path, scrub, ROW_NUMBER() OVER ("
+            "    PARTITION BY sha256(scrub) ORDER BY repo, path) AS rk"
+            "  FROM kept"
+            "), rep AS ("
+            "  SELECT repo, path, scrub, sha256(scrub) AS dedup_sha, "
+            f"  {duckdb_content_split_sql('scrub')} AS split"
+            "  FROM dedup WHERE rk = 1"
+            "), packed AS ("
+            "  SELECT repo, path, dedup_sha, split, "
+            "  CAST(length(scrub) AS INT) AS n_chars_scrubbed, "
+            "  CAST(COALESCE(SUM(length(scrub)) OVER ("
+            "    PARTITION BY split, repo ORDER BY repo, path "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "    // 2000 AS INT) AS shard_idx"
+            "  FROM rep"
+            ") SELECT repo, path, dedup_sha, split, n_chars_scrubbed, "
+            "shard_idx, split || '/' || repo || '/' || "
+            "CAST(shard_idx AS VARCHAR) AS shard_id FROM packed"
         ),
     }
     base.update(_signature_cte_oracles())

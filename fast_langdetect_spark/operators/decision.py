@@ -116,3 +116,26 @@ def with_decision(
         F.when(F.col("keep"), F.col("scrubbed_content") != F.col(text_col)),
     )
     return df
+
+
+def with_rule_decision(
+    df: DataFrame, cfg: QualityConfig | None = None, text_col: str = "content"
+) -> DataFrame:
+    """UDF-free subset of with_decision: keep_rules (identical truth value to
+    with_decision's keep_rules column), content_sha256, and scrubbed_content
+    gated on keep_rules instead of the UDF-dependent keep.  Lets fully
+    SQL-expressible plans (curation rules_only / oracle mode) avoid the
+    langid+perplexity Arrow stage entirely — Catalyst cannot prune the UDF
+    out of with_decision because its scrub gate references `keep`."""
+    cfg = cfg or QualityConfig()
+    conds = reason_conditions(cfg)
+    reasons = F.array_compact(
+        F.array(*[F.when(conds[name], F.lit(name)) for name in RULE_ONLY_REASONS])
+    )
+    df = df.withColumn("keep_rules", F.size(reasons) == 0)
+    df = df.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+    df = df.withColumn(
+        "scrubbed_content",
+        F.when(F.col("keep_rules"), scrub_column(F.col(text_col))),
+    )
+    return df

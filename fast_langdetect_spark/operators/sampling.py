@@ -31,18 +31,22 @@ def pack_shards(
     df: DataFrame,
     *,
     size_col: str = "n_chars",
-    part_col: str = "source",
-    order_col: str = "doc_id",
+    part_col: str | Sequence[str] = "source",
+    order_col: str | Sequence[str] = "doc_id",
     shard_budget: int = 100_000,
 ) -> DataFrame:
-    """Greedy sequential packing: within each ``part_col`` bucket, documents
-    (ordered by ``order_col``) are assigned to shards of ≈ ``shard_budget``
-    total ``size_col`` units.  A document's shard index is
+    """Greedy sequential packing: within each ``part_col`` bucket (a column
+    name or a sequence of them, e.g. ``("split", "part_bucket")``), documents
+    (ordered by ``order_col`` — must be unique per bucket, or shard
+    assignment is tie-nondeterministic) are assigned to shards of
+    ≈ ``shard_budget`` total ``size_col`` units.  A document's shard index is
     floor(preceding_size / budget) — the standard concat-then-cut packing, so
     a shard overflows its budget by at most one document."""
+    part_cols = [part_col] if isinstance(part_col, str) else list(part_col)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = (
-        Window.partitionBy(part_col)
-        .orderBy(order_col)
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     preceding = F.coalesce(F.sum(size_col).over(w), F.lit(0))
@@ -54,7 +58,10 @@ def pack_shards(
         )
         .withColumn(
             "shard_id",
-            F.concat_ws("/", F.col(part_col), F.col("shard_idx").cast("string")),
+            F.concat_ws(
+                "/", *[F.col(c) for c in part_cols],
+                F.col("shard_idx").cast("string"),
+            ),
         )
         .drop("__pack_preceding")
     )

@@ -1,0 +1,100 @@
+"""End-to-end corpus curation: the full journey from raw source-code table
+to training shards, composed from the engine's own operators —
+
+    quality pipeline (langid + perplexity + rules + scrub + decision)
+      → keep filter
+      → exact dedup over the SCRUBBED content (min-(repo,path) representative)
+      → deterministic sha256-prefix train/val/test split
+      → greedy budgeted shard packing, parallel per (split, bucket)
+
+This is the "switch from the reference and run everything" surface: a user
+of fast-langdetect plus ad-hoc filtering scripts gets one composable plan.
+
+Scale shape: one shuffle for the pipeline's bucketed repartition (reused by
+the scoring UDF stage), one hash shuffle for the dedup window, one for the
+packing window — every key is (sha), (split, bucket) or the pipeline's own
+(bucket, salt); no global sorts, no driver-side data.  ``rules_only=True``
+swaps the keep decision to the SQL-expressible rule subset, making the whole
+chain (including scrub, dedup, split and packing) DuckDB-oracle-checkable —
+the driver's `curation` query runs in that mode; the default mode adds the
+UDF-backed langid/perplexity gates on the identical plan shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.sampling import content_split_column, pack_shards
+from .pipeline import PipelineConfig, run_pipeline
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    rules_only: bool = False  # keep = keep_rules only (fully SQL-expressible)
+    shard_budget: int = 100_000  # scrubbed chars per shard
+    shard_part_cols: Sequence[str] = ("split", "part_bucket")
+    shard_order_cols: Sequence[str] = ("repo", "path")  # unique per bucket
+    val_hex: Sequence[str] = ("0",)
+    test_hex: Sequence[str] = ("1",)
+
+
+def curate(df: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
+    """corpus (repo, path, commit?, lang?, content) → sharded kept corpus.
+
+    Output: the pipeline's scored columns plus dedup_sha (sha256 of the
+    scrubbed content actually shipped), split, shard_idx, shard_id.  Only
+    kept, duplicate-free rows survive."""
+    cfg = cfg or CurationConfig()
+    if cfg.rules_only:
+        # UDF-free chain: same partitioning/metrics, rule-only decision —
+        # guarantees no Arrow stage in the plan (with_decision's keep-gated
+        # scrub would otherwise pin the langid/ppl UDF into the DAG AND
+        # null out scrubbed_content for keep_rules-only survivors)
+        from ..operators.decision import with_rule_decision
+        from ..operators.quality import with_quality_metrics
+        from .pipeline import with_partitioning
+
+        pcfg = cfg.pipeline
+        part = with_partitioning(df, pcfg)
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        part = part.repartition(n_shuffle, F.col("part_bucket"), F.col("salt"))
+        scored = with_rule_decision(
+            with_quality_metrics(part, "content"), pcfg.quality, "content"
+        )
+        kept = scored.where(F.col("keep_rules"))
+    else:
+        scored = run_pipeline(df, cfg.pipeline)
+        kept = scored.where(F.col("keep"))
+
+    # exact dedup over the text that would ship (scrubbed), min-(repo,path)
+    # representative — mirrors operators.dedup.exact_duplicates' rule, kept
+    # inline so the window shares the curation plan
+    kept = kept.withColumn("dedup_sha", F.sha2(F.col("scrubbed_content"), 256))
+    w = Window.partitionBy("dedup_sha").orderBy("repo", "path")
+    kept = (
+        kept.withColumn("__dup_rank", F.row_number().over(w))
+        .where(F.col("__dup_rank") == 1)
+        .drop("__dup_rank")
+    )
+
+    kept = kept.withColumn(
+        "split",
+        content_split_column(
+            "scrubbed_content", val_hex=cfg.val_hex, test_hex=cfg.test_hex
+        ),
+    )
+    kept = kept.withColumn("n_chars_scrubbed", F.length("scrubbed_content"))
+    return pack_shards(
+        kept,
+        size_col="n_chars_scrubbed",
+        part_col=cfg.shard_part_cols,
+        order_col=cfg.shard_order_cols,
+        shard_budget=cfg.shard_budget,
+    )

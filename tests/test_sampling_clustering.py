@@ -141,3 +141,33 @@ def test_content_split_matches_duckdb_twin(spark):
     # content-addressed: identical text always lands in the same split
     frac_train = sum(v == "train" for v in got.values()) / len(got)
     assert frac_train > 0.75  # 14/16 expected
+
+
+def test_curate_udf_mode_structure(spark):
+    """plans/curation.py default (UDF) mode: keep-gated, duplicate-free,
+    split + packed output on the same plan shape the oracle checks in
+    rules_only mode (driver query `curation`)."""
+    from fast_langdetect_spark.plans.curation import CurationConfig, curate
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from fast_langdetect_spark.sources.synth import corpus_df
+
+    corpus = corpus_df(spark, 300, partitions=4)
+    cfg = CurationConfig(pipeline=PipelineConfig(n_buckets=8), shard_budget=3000)
+    rows = curate(corpus, cfg).collect()
+    assert rows
+    shas = [r["dedup_sha"] for r in rows]
+    assert len(shas) == len(set(shas))  # exact-dedup: one row per content
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # greedy packing: a shard exceeds budget by less than one member
+    per_shard: dict = {}
+    for r in rows:
+        tot, big = per_shard.get(r["shard_id"], (0, 0))
+        per_shard[r["shard_id"]] = (
+            tot + r["n_chars_scrubbed"], max(big, r["n_chars_scrubbed"])
+        )
+    for tot, big in per_shard.values():
+        assert tot < cfg.shard_budget + big
+    # survivors = the distinct scrubbed contents among the pipeline's keeps
+    kept = run_pipeline(corpus, cfg.pipeline).where("keep")
+    n_distinct = kept.select("scrubbed_content").distinct().count()
+    assert len(rows) == n_distinct
