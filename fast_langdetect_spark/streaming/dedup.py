@@ -1,0 +1,46 @@
+"""Streaming exact dedup (SURVEY §2.10 extension): drop byte-identical
+documents as they arrive, with bounded state.
+
+Spark-first shape: ``dropDuplicatesWithinWatermark`` keyed on the content
+sha256 — the engine keeps one state entry per distinct sha seen within the
+watermark horizon and emits only the FIRST arrival; late re-arrivals beyond
+the watermark may re-emit (the documented trade: state is bounded by
+horizon × arrival rate instead of growing forever, exactly how production
+streaming dedup caps state).  State is hash-partitioned by the dedup key —
+the same shuffle bound as the batch exact_duplicates operator.
+
+For corpora with no useful event time, `dedup_stream_exact` (plain
+``dropDuplicates`` on the key) gives exact all-time dedup with unbounded
+state — correct, but only for bounded/replayed sources such as
+backfill-with-availableNow runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_content_sha(df: DataFrame, text_col: str = "content") -> DataFrame:
+    return df.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+
+
+def dedup_stream_exact(stream_df: DataFrame, text_col: str = "content") -> DataFrame:
+    """All-time streaming exact dedup (unbounded state; backfill use)."""
+    return with_content_sha(stream_df, text_col).dropDuplicates(["content_sha256"])
+
+
+def dedup_stream_watermarked(
+    stream_df: DataFrame,
+    *,
+    text_col: str = "content",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Bounded-state streaming exact dedup: one state row per distinct
+    content sha within the watermark horizon."""
+    return (
+        with_content_sha(stream_df, text_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_sha256"])
+    )

@@ -1,0 +1,64 @@
+"""Streaming exact dedup: first-arrival-only emission, batch-equivalent
+distinct set, bounded-state watermarked variant."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    from fast_langdetect_spark.sources.synth import CORPUS_SCHEMA, corpus_df
+    from fast_langdetect_spark.streaming.dedup import dedup_stream_exact
+
+    src = str(tmp_path / "corpus_src")
+    corpus_df(spark, 200, partitions=2).write.parquet(src)
+
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(src)
+    q = (
+        dedup_stream_exact(stream)
+        .select("content_sha256")
+        .writeStream.format("memory")
+        .queryName("dedup_t1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shas = [r["content_sha256"] for r in spark.table("dedup_t1").collect()]
+    want = {
+        r["s"]
+        for r in spark.read.parquet(src)
+        .select(F.sha2("content", 256).alias("s"))
+        .distinct()
+        .collect()
+    }
+    assert len(shas) == len(set(shas))  # one emission per distinct content
+    assert set(shas) == want  # exactly the batch-distinct set
+    assert len(want) < 200  # the synth corpus really contains duplicates
+
+
+def test_streaming_watermarked_dedup_bounded_state(spark, tmp_path):
+    from fast_langdetect_spark.streaming.dedup import dedup_stream_watermarked
+
+    src = str(tmp_path / "ts_src")
+    rows = [
+        (datetime(2024, 1, 1, 0, 0, 0), "aaa"),
+        (datetime(2024, 1, 1, 0, 1, 0), "aaa"),  # dup within watermark
+        (datetime(2024, 1, 1, 0, 2, 0), "bbb"),
+        (datetime(2024, 1, 1, 2, 0, 0), "aaa"),  # same batch → still deduped
+    ]
+    spark.createDataFrame(rows, "ts timestamp, content string").write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, content string").parquet(src)
+    q = (
+        dedup_stream_watermarked(stream, watermark="1 hour")
+        .select("content", "content_sha256")
+        .writeStream.format("memory")
+        .queryName("dedup_t2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["content"] for r in spark.table("dedup_t2").collect())
+    assert got == ["aaa", "bbb"]
