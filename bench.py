@@ -275,9 +275,17 @@ def main() -> None:
                 best = (dt, load, cpu, mon.mean, mon.peak, canary)
             # retry only a polluted first attempt: visible co-tenant load at
             # the gate OR mid-run, or an inflated spin canary (invisible
-            # hypervisor co-tenancy — see _canary_sec)
+            # hypervisor co-tenancy — see _canary_sec), or collapsed
+            # occupancy on a CPU-heavy query (the single-thread canary
+            # cannot see contention that only appears at full-width load:
+            # r02's driver run measured cpu/wall/cores = 0.42 vs 0.69 clean
+            # at local[32] while gate load read 0.09)
+            occupancy = cpu / max(dt, 1e-9) / cpus
             polluted = (
-                load > 1.0 or mon.peak > 1.0 or canary > 1.25 * canary_floor
+                load > 1.0
+                or mon.peak > 1.0
+                or canary > 1.25 * canary_floor
+                or (cpu > 60 and occupancy < 0.5)
             )
             if not polluted:
                 break  # keep retrying only while attempts come back polluted
