@@ -171,3 +171,64 @@ def test_curate_udf_mode_structure(spark):
     kept = run_pipeline(corpus, cfg.pipeline).where("keep")
     n_distinct = kept.select("scrubbed_content").distinct().count()
     assert len(rows) == n_distinct
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Randomized graphs vs a scalar union-find reference (min-rooted, so
+    the final root of every component is its minimum member)."""
+    import random
+    from collections import defaultdict
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 40
+        edges = [
+            (a, b)
+            for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(45))
+            if a != b
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = defaultdict(set)
+        for x in {v for e in edges for v in e}:
+            comp[find(x)].add(x)
+        want = {x: min(members) for members in comp.values() for x in members}
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(_edges(spark, edges)).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_pack_shards_matches_sequential_greedy(spark):
+    """Random sizes vs a scalar greedy recomputation (floor(cum/budget))."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(7)
+    rows = [(i, f"g{rng.randrange(3)}", rng.randrange(1, 500)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, sz long")
+    out = pack_shards(
+        df, size_col="sz", part_col="grp", order_col="doc_id", shard_budget=700
+    )
+    got = {(r["grp"], r["doc_id"]): r["shard_idx"] for r in out.collect()}
+    by_grp = defaultdict(list)
+    for i, g, s in rows:
+        by_grp[g].append((i, s))
+    want = {}
+    for g, items in by_grp.items():
+        cum = 0
+        for i, s in sorted(items):
+            want[(g, i)] = cum // 700
+            cum += s
+    assert got == want
