@@ -440,6 +440,37 @@ def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/dedup.py) drained with availableNow:
+    emits the FIRST arrival of each distinct content, so the emitted sha set
+    is exactly the batch DISTINCT — the oracle.  The parquet file is staged
+    into a directory because the file stream source lists directories."""
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from fast_langdetect_spark.streaming.dedup import dedup_stream_exact
+
+    src_dir = Path(tempfile.mkdtemp(prefix="fld_stream_dedup_"))
+    shutil.copy(f"{sf_dir}/documents.parquet", src_dir / "part-0.parquet")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(str(src_dir))
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream_exact(stream, text_col="text")
+        .select("content_sha256")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "langid_top1": _q_langid_top1,
@@ -468,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": _q_pack_shards,
         "corpus_sample": _q_corpus_sample,
         "curation": _q_curation,
+        "stream_dedup": _q_stream_dedup,
     }
 
 
@@ -1065,6 +1097,10 @@ def oracle_sql() -> dict[str, str]:
             ") SELECT repo, path, dedup_sha, split, n_chars_scrubbed, "
             "shard_idx, split || '/' || repo || '/' || "
             "CAST(shard_idx AS VARCHAR) AS shard_id FROM packed"
+        ),
+        # streaming first-arrival dedup emits exactly the batch-distinct set
+        "stream_dedup": (
+            "SELECT DISTINCT sha256(text) AS content_sha256 FROM documents"
         ),
     }
     base.update(_signature_cte_oracles())

@@ -143,8 +143,12 @@ def gated_scores_udf(
 
 # script classes the heuristic may short-circuit: unambiguous script → one
 # fastText label.  latin/cyrillic/other are EXCLUDED by construction (many
-# languages share those scripts — the model must disambiguate).
-SCRIPT_GATE_LANGS = ("ja", "ko", "zh")
+# languages share those scripts — the model must disambiguate), and so is
+# han/'zh': the han script is shared (kanji-heavy Japanese with <10% kana,
+# hanja Korean), so routing han→zh would mislabel those at score 1.0.  Only
+# kana (ja) and hangul (ko) are script-unique.  Corpora known to be
+# Chinese-dominant can opt in via with_scores(gate_langs=("ja","ko","zh")).
+SCRIPT_GATE_LANGS = ("ja", "ko")
 
 
 def with_scores(
@@ -157,12 +161,13 @@ def with_scores(
     max_input_length: int = DEFAULT_MAX_INPUT_LENGTH,
     doc_cap: int = DEFAULT_DOC_CAP,
     script_gate: bool = False,
+    gate_langs: tuple = SCRIPT_GATE_LANGS,
 ) -> DataFrame:
     """Adds lang_top, lang_score, perplexity with a single Python crossing.
 
     ``script_gate=True`` (default OFF): a native script heuristic
     (textstats.script_lang_guess) labels unambiguous-script rows
-    (SCRIPT_GATE_LANGS: kana→ja, hangul→ko, han→zh) BEFORE the UDF; those
+    (``gate_langs``, default kana→ja, hangul→ko) BEFORE the UDF; those
     rows skip the fastText predictor (lang_top = heuristic label,
     lang_score = 1.0) and ship a NULL short column — on CJK-heavy corpora
     this cuts both predictor compute and Arrow bytes substantially.  The
@@ -207,9 +212,16 @@ def with_scores(
     guess = script_lang_guess(text_col)
     # NULL content → all counts NULL → every when() falls through → 'other'
     # → not confident → scored with a NULL short (same 'en' EOS prediction
-    # as the ungated path)
-    confident = guess.isin(*SCRIPT_GATE_LANGS)
-    df = df.withColumn("__guess", F.when(confident, guess))
+    # as the ungated path).
+    # array-wrap + filter + get, NOT when(guess.isin(...), guess): a when()
+    # would embed the 5-regex guess tree in both the condition and the value
+    # branch, and codegen CSE does not dedupe conditional branches
+    # (memory/catalyst-cse-pitfalls) — F.array(guess) evaluates the tree
+    # exactly once and the lambda tests the materialized element.
+    df = df.withColumn(
+        "__guess",
+        F.get(F.filter(F.array(guess), lambda x: x.isin(*gate_langs)), 0),
+    )
     skip = F.col("__guess").isNotNull()
     return (
         df.withColumn(

@@ -34,13 +34,15 @@ def _report_dropped_buckets(
     stats_out: Optional[dict],
     fn_name: str,
 ) -> None:
-    """Never-silent cap accounting (same contract as dedup.minhash_lsh_pairs):
-    when the caller passes ``stats_out`` one small eager aggregation counts
-    the buckets/rows the cap excluded, logs a warning if any, and fills
-    ``{"dropped_buckets": n, "dropped_bucket_rows": n}``.  With
-    ``stats_out=None`` the plan stays fully lazy (the cap itself is always
-    documented in the docstring; degenerate buckets are near-identical
-    vectors already caught by exact/embedding dedup)."""
+    """Cap accounting for the similarity operators: when the caller passes
+    ``stats_out`` one small eager aggregation counts the buckets/rows the
+    cap excluded, logs a warning if any, and fills ``{"dropped_buckets": n,
+    "dropped_bucket_rows": n}``.  With ``stats_out=None`` the plan stays
+    FULLY LAZY — this deliberately differs from dedup.minhash_lsh_pairs,
+    which is always-eager (it must release its persisted signature cache)
+    and therefore warns unconditionally; the similarity paths keep lazy
+    composition and make drop accounting opt-in (degenerate buckets are
+    near-identical vectors already caught by exact/embedding dedup)."""
     if stats_out is None:
         return
     dropped = (
@@ -139,8 +141,11 @@ def brute_force_pairs(
             .select("id_a", "id_b", _cosine("vec_a", "vec_b").alias("cosine"))
             .where(F.col("cosine") >= threshold)
         )
-    head = df.select(vec_col).first()
-    if head is None:  # empty input → empty pairs, keep the schema
+    # dim sniff skips NULL embeddings (a NULL first row would TypeError on
+    # len); NOTE this .first() is an eager mini-job at plan-construction
+    # time — the SRP projection matrix needs the dimension up front
+    head = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if head is None:  # empty / all-NULL input → empty pairs, keep the schema
         return (
             df.select(
                 F.col(id_col).alias("id_a"),

@@ -92,9 +92,21 @@ def _v1_table_write(df: DataFrame, name: str, overwrite: bool) -> None:
     """insertInto with dynamic partition overwrite — the v1 analogue of
     DataFrameWriterV2.overwritePartitions (writeTo cannot target v1
     session-catalog tables).  insertInto is position-based, so columns are
-    aligned to the table schema first."""
+    aligned to the table schema first — but only when the column SETS agree:
+    silently select()-ing away a df-only column would turn a schema-evolution
+    error the caller must see into silent data loss, and a missing table
+    column should fail with a clear message rather than an AttributeError."""
     spark = df.sparkSession
-    df = df.select(*spark.table(name).columns)
+    table_cols = spark.table(name).columns
+    extra = set(df.columns) - set(table_cols)
+    missing = set(table_cols) - set(df.columns)
+    if extra or missing:
+        raise ValueError(
+            f"v1 fallback write to {name!r}: DataFrame/table schema mismatch "
+            f"(df-only columns: {sorted(extra)}, table-only columns: "
+            f"{sorted(missing)}) — evolve the table schema first"
+        )
+    df = df.select(*table_cols)
     conf = spark.conf
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = conf.get(key, "static")

@@ -85,10 +85,14 @@ def _burn(rank):
     # pin BLAS to 1 thread BEFORE numpy initializes in this child, and pin
     # the child to its own CPU — without both, forked children inherit the
     # parent's (unpinned) threadpool and migrate, and the "envelope" mostly
-    # measures oversubscription instead of silicon
+    # measures oversubscription instead of silicon.  Pin to the TOP of the
+    # CPU range — the same cores run_level pins the timed runs to (CPU 0 and
+    # friends service IRQs/housekeeping; burning there would measure worse
+    # silicon than the pipeline uses and understate the envelope).
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ[var] = "1"
-    os.sched_setaffinity(0, {int(rank)})
+    n_host = os.cpu_count() or 32
+    os.sched_setaffinity(0, {n_host - 1 - int(rank)})
     import time
 
     import numpy as np
@@ -108,9 +112,9 @@ def cpu_envelope(n_lo: int, n_hi: int) -> float:
     of the workload).  Load-gated like the timed runs."""
     import multiprocessing as mp
 
-    _wait_quiet()
     totals = {}
     for procs in (n_lo, n_hi):
+        _wait_quiet()  # gate EACH level, not just the first
         ctx = mp.get_context("spawn")  # fresh interpreters: no inherited BLAS
         with ctx.Pool(procs) as p:
             totals[procs] = sum(p.map(_burn, range(procs)))
@@ -141,10 +145,22 @@ def main() -> None:
     # INTERLEAVED for several trials; the reported efficiency comes from the
     # best SAME-TRIAL pair whose two runs are both clean (gate load, mid-run
     # peak, canary), never assembled across invocations.
-    n_lo, n_hi = LEVELS
+    # clamp levels to the host BEFORE any math: run_level would clamp the
+    # actual run anyway, and computing eff with the CONFIGURED ratio against
+    # walls measured at a clamped level silently falsifies the gate
+    n_host = os.cpu_count() or 32
+    levels = tuple(min(lvl, n_host) for lvl in LEVELS)
+    if levels != LEVELS:
+        print(f"levels {LEVELS} clamped to host: {levels}", file=sys.stderr)
+    if levels[0] >= levels[1]:
+        raise SystemExit(
+            f"scaling levels {levels} collapsed after clamping to "
+            f"{n_host} host CPUs — nothing to compare"
+        )
+    n_lo, n_hi = levels
     trials: list[dict] = []
     for _ in range(TRIALS):
-        trials.append({cpus: _stats(run_level(cpus)) for cpus in LEVELS})
+        trials.append({cpus: _stats(run_level(cpus)) for cpus in levels})
     # canary floors are PER LEVEL: the canary shares the taskset mask with
     # the (idle but ticking) JVM tree, so its absolute value differs by
     # level — only same-level inflation across trials marks pollution
@@ -153,7 +169,7 @@ def main() -> None:
             (t[lvl]["canary"] for t in trials if t[lvl]["canary"]),
             default=None,
         )
-        for lvl in LEVELS
+        for lvl in levels
     }
 
     def clean(lvl: int, s: dict) -> bool:
@@ -230,7 +246,8 @@ def main() -> None:
         f"UDF, rules, scrub, decision, bucketed+salted repartition), same "
         f"input both levels.\n\n"
         f"- **GATE wall-efficiency = T(N)/({n_hi // n_lo}·T(4N)) = {eff:.3f} "
-        f"≥ 0.8: {'PASS' if gate_wall else 'FAIL'}**\n"
+        f"≥ 0.8: {'PASS' if gate_wall else 'FAIL'}"
+        f"{'' if pair_clean else ' (UNCLEAN PAIR — indicative only, not gate evidence)'}**\n"
         f"- **GATE decomposed (work-conservation {conservation} ≥ 0.9 AND "
         f"eff/envelope {rel_env} ≥ 0.8, envelope {envelope:.3f}): "
         f"{'PASS' if gate_decomposed else 'FAIL'}** — conservation ≈ 1 means "

@@ -160,8 +160,9 @@ def test_script_gate_decision_parity(spark):
     b = sorted(tuple(r) for r in cols(gated))
     assert a == b
     # the gate fired: heuristic-labeled rows carry lang_score exactly 1.0
+    # (default gate set is ja/ko only — han/'zh' is a shared script)
     fired = gated.where(
-        (F.col("lang_score") == 1.0) & F.col("lang_top").isin("ja", "zh", "ko")
+        (F.col("lang_score") == 1.0) & F.col("lang_top").isin("ja", "ko")
     ).count()
     assert fired > 0
 
@@ -189,7 +190,12 @@ def test_script_gate_udf_subset_and_null_parity(spark):
     base = pick(with_scores(df))
     gated = pick(with_scores(df, script_gate=True))
     assert gated[0] == ("ja", 1.0, base[0][2])
-    assert gated[1] == ("zh", 1.0, base[1][2])
+    # han is a SHARED script (kanji-heavy ja, hanja ko): not gated by
+    # default — the Chinese row goes to the model, bit-identical to ungated
+    assert gated[1] == base[1]
+    # ...but a Chinese-dominant corpus can opt in:
+    opted = pick(with_scores(df, script_gate=True, gate_langs=("ja", "ko", "zh")))
+    assert opted[1] == ("zh", 1.0, base[1][2])
     # ambiguous latin + null + empty rows: bit-identical to ungated
     for i in (2, 3, 4):
         assert gated[i] == base[i]
