@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the end-to-end curation job: quality
+pipeline → keep → exact dedup over scrubbed content → train/val/test split
+→ budgeted shard packing → partitioned parquet/table write.
+
+    zip -r fld_spark.zip fast_langdetect_spark
+    spark-submit \\
+        --py-files fld_spark.zip \\
+        --files lid.176.ftz,char_lm.npz \\
+        jobs/run_curation.py \\
+        --input table://datalake.code_files \\
+        --output table://datalake.training_shards \\
+        --buckets 262144 --shard-budget 100000000
+
+Output is partitioned by (split, part_bucket) — the packing unit — so each
+shard's documents land together and a training reader lists one partition
+directory per shard group.  See plans/curation.py for the plan shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salts", type=int, default=8)
+    p.add_argument("--salt-mode", default="auto", choices=["auto", "all", "none"])
+    p.add_argument("--shard-budget", type=int, default=100_000)
+    p.add_argument(
+        "--rules-only",
+        action="store_true",
+        help="keep decision from native rules only (no langid/ppl UDF)",
+    )
+    p.add_argument("--cpus", type=int, default=None, help="local[] size (sandbox)")
+    args = p.parse_args()
+
+    from fast_langdetect_spark.plans.curation import CurationConfig, curate
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig
+    from fast_langdetect_spark.session import build_session
+    from fast_langdetect_spark.sources.io import read_corpus, write_results
+
+    spark = build_session(app_name="fld-curation", cpus=args.cpus)
+    cfg = CurationConfig(
+        pipeline=PipelineConfig(
+            n_buckets=args.buckets, n_salts=args.salts, salt_mode=args.salt_mode
+        ),
+        rules_only=args.rules_only,
+        shard_budget=args.shard_budget,
+    )
+    corpus = read_corpus(spark, args.input)
+    t0 = time.time()
+    out = curate(corpus, cfg).select(
+        "repo", "path", "split", "part_bucket", "shard_idx", "shard_id",
+        "dedup_sha", "n_chars_scrubbed", "scrubbed_content",
+    )
+    write_results(out, args.output, partition_by=("split", "part_bucket"))
+    written = spark.read.parquet(args.output) if not args.output.startswith(
+        "table://"
+    ) else spark.read.table(args.output[len("table://"):])
+    stats = written.groupBy("split").count().collect()
+    print(
+        json.dumps(
+            {
+                "rows_written": sum(r["count"] for r in stats),
+                "rows_by_split": {r["split"]: r["count"] for r in stats},
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
