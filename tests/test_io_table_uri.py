@@ -72,3 +72,29 @@ def test_run_with_resume_table_uris(spark):
     finally:
         for t in (out_t, lin_t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_v1_fallback_raises_on_schema_mismatch(spark):
+    """The v1 insertInto fallback must FAIL on a df/table column-set
+    mismatch instead of silently select()-ing away an evolved column
+    (silent data loss) or dying with an opaque AttributeError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fast_langdetect_spark.sources.io import write_results
+
+    tbl = "fld_v1_mismatch"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        base = spark.range(3).select(
+            F.col("id"), F.pmod("id", F.lit(2)).alias("part_bucket")
+        )
+        base.write.partitionBy("part_bucket").saveAsTable(tbl)
+        evolved = base.withColumn("new_metric", F.lit(1.0))
+        with pytest.raises(ValueError, match="schema mismatch"):
+            write_results(evolved, f"table://{tbl}", mode="append")
+        # matching columns still write fine through the fallback
+        write_results(base, f"table://{tbl}", mode="append")
+        assert spark.table(tbl).count() == 6
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
