@@ -42,14 +42,30 @@ def exact_duplicates(
     df: DataFrame, text_col: str = "content", id_cols: tuple = ("repo", "path")
 ) -> DataFrame:
     """Mark exact duplicates by sha256: the representative (min id tuple) of
-    each content group survives with is_duplicate=false."""
-    sha = F.sha2(F.col(text_col), 256).alias("content_sha256")
-    w = Window.partitionBy("content_sha256").orderBy(*[F.col(c) for c in id_cols])
-    return (
-        df.select(*id_cols, sha)
-        .withColumn("dup_rank", F.row_number().over(w))
-        .withColumn("is_duplicate", F.col("dup_rank") > 1)
-        .drop("dup_rank")
+    each content group survives with is_duplicate=false.
+
+    Two-phase groupBy-min + join instead of a sha-partitioned row_number
+    window: partial (map-side) aggregation collapses a 10M-copy boilerplate
+    sha to one row per map task before the shuffle, and the join back is
+    AQE-skew-splittable — a window over the same key would sort the whole
+    mega-group on a single reducer and AQE cannot split windows.  The join
+    is null-safe so NULL-content rows dedup among themselves exactly like
+    the window form did (a plain equi-join would silently drop them)."""
+    ids = [F.col(c) for c in id_cols]
+    with_sha = df.select(*id_cols, F.sha2(F.col(text_col), 256).alias("content_sha256"))
+    reps = with_sha.groupBy("content_sha256").agg(
+        F.min(F.struct(*ids)).alias("__rep")
+    )
+    joined = with_sha.alias("l").join(
+        reps.alias("r"),
+        F.col("l.content_sha256").eqNullSafe(F.col("r.content_sha256")),
+    )
+    return joined.select(
+        *[F.col(f"l.{c}") for c in id_cols],
+        F.col("l.content_sha256").alias("content_sha256"),
+        (F.struct(*[F.col(f"l.{c}") for c in id_cols]) != F.col("r.__rep")).alias(
+            "is_duplicate"
+        ),
     )
 
 

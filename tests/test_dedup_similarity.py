@@ -312,3 +312,15 @@ def test_lsh_cap_recall_covered_by_exact_dedup(spark):
     flagged = {r["doc_id"] for r in marked.where("is_duplicate").collect()}
     # every boilerplate member except the min-id representative is flagged
     assert flagged == set(range(1, 30))
+
+
+def test_exact_duplicates_null_content_and_skew_shape(spark):
+    """NULL contents dedup among themselves (null-safe join — a plain
+    equi-join would drop them); representative is the min id tuple."""
+    rows = [(1, None), (2, None), (3, "x"), (4, "x"), (5, "y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["is_duplicate"]
+        for r in exact_duplicates(df, text_col="text", id_cols=("doc_id",)).collect()
+    }
+    assert got == {1: False, 2: True, 3: False, 4: True, 5: False}
