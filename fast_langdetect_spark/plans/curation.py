@@ -25,7 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.sampling import content_split_column, pack_shards
@@ -74,14 +74,20 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         kept = scored.where(F.col("keep"))
 
     # exact dedup over the text that would ship (scrubbed), min-(repo,path)
-    # representative — mirrors operators.dedup.exact_duplicates' rule, kept
-    # inline so the window shares the curation plan
+    # representative — same rule as operators.dedup.exact_duplicates and the
+    # same skew-robust shape: groupBy-min partial-aggregates a boilerplate
+    # mega-sha map-side and the join back is AQE-skew-splittable, where a
+    # sha-partitioned row_number window would sort the whole group on one
+    # reducer.  kept rows always have a non-NULL scrub (gated on the keep
+    # predicate), so a plain equi-join loses nothing.
     kept = kept.withColumn("dedup_sha", F.sha2(F.col("scrubbed_content"), 256))
-    w = Window.partitionBy("dedup_sha").orderBy("repo", "path")
+    reps = kept.groupBy("dedup_sha").agg(
+        F.min(F.struct("repo", "path")).alias("__rep")
+    )
     kept = (
-        kept.withColumn("__dup_rank", F.row_number().over(w))
-        .where(F.col("__dup_rank") == 1)
-        .drop("__dup_rank")
+        kept.join(reps, "dedup_sha")
+        .where(F.struct("repo", "path") == F.col("__rep"))
+        .drop("__rep")
     )
 
     kept = kept.withColumn(
