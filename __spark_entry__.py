@@ -468,6 +468,7 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(src_dir, ignore_errors=True)  # memory sink holds the rows
     return spark.table(name)
 
 
