@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
@@ -97,10 +97,12 @@ def duplicate_clusters(
     """connected_components plus per-cluster size and the keep flag
     (is_representative = min-id member, mirroring exact_duplicates)."""
     cc = connected_components(edges, id_a, id_b, max_iter=max_iter)
-    w = Window.partitionBy("cluster_id")
-    return cc.select(
+    # groupBy + join, not a count window: map-side partial counts collapse a
+    # mega-cluster before the shuffle and the join is AQE-skew-splittable
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
         "id",
         "cluster_id",
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        "cluster_size",
         (F.col("id") == F.col("cluster_id")).alias("is_representative"),
     )
