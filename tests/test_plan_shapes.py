@@ -1,0 +1,56 @@
+"""Physical-plan regression guards: the scale-critical properties of each
+plan (single Arrow crossing, no skew-prone windows in dedup, broadcasts
+where intended) asserted on the executed-plan text so refactors cannot
+silently reintroduce them."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pipeline_single_arrow_crossing(spark):
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from fast_langdetect_spark.sources.synth import corpus_df
+
+    out = run_pipeline(corpus_df(spark, 50, partitions=2), PipelineConfig(n_buckets=4))
+    plan = _plan(out)
+    # langid + perplexity are fused: exactly ONE Python/Arrow boundary
+    assert plan.count("ArrowEvalPython") == 1
+    # no row-at-a-time Python UDFs anywhere
+    assert "BatchEvalPython" not in plan
+
+
+def test_curation_rules_only_has_no_python_stage(spark):
+    from fast_langdetect_spark.plans.curation import CurationConfig, curate
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig
+    from fast_langdetect_spark.sources.synth import corpus_df
+
+    out = curate(
+        corpus_df(spark, 50, partitions=2),
+        CurationConfig(pipeline=PipelineConfig(n_buckets=4), rules_only=True),
+    )
+    plan = _plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_exact_dedup_has_no_window(spark):
+    from fast_langdetect_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, text string")
+    plan = _plan(exact_duplicates(df, text_col="text", id_cols=("doc_id",)))
+    # skew-robust shape: partial-agg + join, never a sha-partitioned window
+    # (min(struct) compiles to SortAggregate; the partial_min phase is the
+    # map-side combine that collapses mega-groups)
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    from fast_langdetect_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = brute_force_topk(emb, emb.limit(4), k=3)
+    plan = _plan(out)
+    assert "Broadcast" in plan  # small query side broadcast, corpus streamed
