@@ -1,0 +1,52 @@
+"""Java/RE2 regex dialect compatibility.
+
+The repo's cross-engine contract (CLAUDE.md conventions) keeps every shared
+pattern runnable in Java (Spark), RE2 (DuckDB) and Python-with-re.ASCII
+(golden scalars).  One construct silently breaks it: **``\\b``**.
+
+Measured on this stack (pyspark 4.1.2 / JDK 17 vs DuckDB vs CPython):
+
+    pattern \\bAKIA…   on  "ǈAKIA…" / "文10.0.0.1"
+      Java  (Spark)  → NO match  (Java's boundary matcher treats unicode
+                        letters as word characters even without
+                        UNICODE_CHARACTER_CLASS, although its \\w stays ASCII)
+      RE2   (DuckDB) → match     (\\b is ASCII-word-based)
+      re.ASCII (py)  → match     (ASCII by construction)
+
+For a PII scrubber this is an under-scrub: Java misses patterns adjacent to
+CJK or any non-ASCII letter.  The repo's semantics are the ASCII boundary
+(golden scalar = spec, DuckDB oracle agrees), so the JAVA pattern is the one
+rewritten: ``java_ascii_boundaries`` replaces every ``\\b`` with an explicit
+ASCII word-boundary via lookaround — Java supports lookaround; the RE2 and
+Python sides keep the plain pattern (RE2 has no lookaround, but its \\b is
+already ASCII).
+"""
+
+from __future__ import annotations
+
+# exact ASCII word boundary: a word→nonword or nonword→word transition,
+# where "word" is the ASCII class [0-9A-Za-z_] (what RE2's \b and Python's
+# re.ASCII \b test)
+_ASCII_B = (
+    "(?:(?<![0-9A-Za-z_])(?=[0-9A-Za-z_])|(?<=[0-9A-Za-z_])(?![0-9A-Za-z_]))"
+)
+
+
+def java_ascii_boundaries(pattern: str) -> str:
+    r"""Rewrite every ``\b`` in ``pattern`` to an explicit ASCII boundary for
+    Java regex engines (Spark rlike/regexp_replace).  ``\\b`` (an escaped
+    backslash followed by 'b') is left alone; patterns here never contain
+    ``\b`` inside character classes (where it means backspace)."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        if pattern.startswith(r"\\", i):
+            out.append(pattern[i : i + 2])
+            i += 2
+        elif pattern.startswith(r"\b", i):
+            out.append(_ASCII_B)
+            i += 2
+        else:
+            out.append(pattern[i])
+            i += 1
+    return "".join(out)

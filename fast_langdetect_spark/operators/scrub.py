@@ -82,15 +82,24 @@ _MAX_GUARDED_RULES = 8
 
 def scrub_column(col: Column) -> Column:
     """Chained native regexp_replace over all scrub rules (guarded while the
-    rule list is short; plain linear chain beyond _MAX_GUARDED_RULES)."""
+    rule list is short; plain linear chain beyond _MAX_GUARDED_RULES).
+
+    Patterns pass through java_ascii_boundaries: Java's \\b treats unicode
+    letters as word chars (RE2's and re.ASCII's \\b are ASCII), so the raw
+    pattern would silently SKIP scrubbing PII preceded/followed by CJK or
+    accented letters — an under-scrub the fuzz harness caught (see
+    regex_compat.py)."""
+    from .regex_compat import java_ascii_boundaries
+
     out = col
     if len(SCRUB_RULES) > _MAX_GUARDED_RULES:
         for _, pattern, repl, _ in SCRUB_RULES:
-            out = F.regexp_replace(out, pattern, repl)
+            out = F.regexp_replace(out, java_ascii_boundaries(pattern), repl)
         return out
     for name, pattern, repl, _ in SCRUB_RULES:
         out = F.when(
-            _SCRUB_GUARDS[name](col), F.regexp_replace(out, pattern, repl)
+            _SCRUB_GUARDS[name](col),
+            F.regexp_replace(out, java_ascii_boundaries(pattern), repl),
         ).otherwise(out)
     return out
 
@@ -101,8 +110,9 @@ def scrub_text(text: str) -> str:
     out = text
     for _, pattern, repl, _ in SCRUB_RULES:
         py_repl = repl.replace("$1", "\\1")
-        # re.ASCII: Python's \d/\b/\s are unicode-aware by default, Java's and
-        # RE2's are ASCII — pin Python to the same semantics
+        # re.ASCII pins Python's \d/\b/\s to ASCII — matching RE2 and the
+        # repo's boundary spec.  (Java's \b is unicode-aware even in default
+        # mode; scrub_column rewrites it — see regex_compat.py.)
         out = re.sub(pattern, py_repl, out, flags=re.ASCII)
     return out
 
