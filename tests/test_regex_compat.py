@@ -112,3 +112,57 @@ def test_scrub_fuzz_spark_vs_scalar_vs_duckdb(spark):
     duck = dict(con.sql(f"SELECT i, {duckdb_scrub_sql('t')} FROM d").fetchall())
     for i, t in enumerate(texts):
         assert got[i] == scrub_text(t) == duck[i], repr(t[:80])
+
+
+def test_fingerprint_and_script_fuzz_vs_duckdb(spark):
+    """Seeded mixed-script fuzz of the fingerprint and script-heuristic
+    twins (0 divergences expected — these use explicit ranges, no \\b)."""
+    import __spark_entry__ as entry_mod
+    from fast_langdetect_spark.operators.textstats import (
+        duckdb_fingerprint_sql,
+        fingerprint_columns,
+        script_lang_guess,
+    )
+
+    rng = random.Random(99)
+    pools = [
+        string.ascii_letters, string.digits, string.punctuation,
+        " \t\r\n\f", "äöüßéèñç", "日本語の文字テストかなカナ", "中文字符测试",
+        "한국어문자", "русскийтекст", "👍🔥🎉𝕏𝒜", "ﬁﬂǅǈ",
+    ]
+    texts = [
+        "".join(rng.choice(rng.choice(pools)) for _ in range(rng.randrange(0, 80)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fp = fingerprint_columns("text")
+    sdf = df.select(
+        "doc_id", *[c.alias(n) for n, c in fp.items()],
+        script_lang_guess("text").alias("script_lang"),
+    ).collect()
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(enumerate(texts), columns=["doc_id", "text"]))
+    fps = duckdb_fingerprint_sql("text")
+    fp_cols = ", ".join(f"{sql} AS {name}" for name, sql in fps.items())
+    script_sql = (
+        entry_mod.oracle_sql()["script_lang"]
+        .split(" AS script_lang")[0]
+        .split("SELECT doc_id, ")[1]
+    )
+    odf = {
+        r[0]: r[1:]
+        for r in con.sql(
+            f"SELECT doc_id, {fp_cols}, {script_sql} FROM docs ORDER BY doc_id"
+        ).fetchall()
+    }
+    names = list(fp.keys()) + ["script_lang"]
+    for r in sdf:
+        exp = odf[r["doc_id"]]
+        for j, name in enumerate(names):
+            a, b = r[name], exp[j]
+            if isinstance(a, float):
+                assert abs(a - b) < 1e-12, (r["doc_id"], name)
+            else:
+                assert str(a) == str(b), (r["doc_id"], name, texts[r["doc_id"]][:50])
