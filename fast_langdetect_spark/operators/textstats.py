@@ -12,9 +12,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Explicit ASCII-whitespace class instead of \s: Java's \s includes vertical
+# tab \x0B, RE2's does NOT — `\s` in a shared pattern silently diverges on
+# \x0B-bearing text (measured: punct_ratio 0.25 vs 0.75 on "x\x0b\x0b!").
+# The explicit class pins Java, RE2 and Python to the same set.
+ASCII_WS = r" \t\r\n\f\x0B"
+
 # GPT2-style BPE pre-tokenizer pattern, lookaround-free so Java regex (Spark)
 # and RE2 (DuckDB) agree.  Public pattern family (Radford et al. 2019).
-BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+BPE_TOKEN_RE = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+"
+    rf"| ?[^{ASCII_WS}\p{{L}}\p{{N}}]+|[{ASCII_WS}]+"
+)
 
 # script-detection character classes (explicit ranges — identical in Java/RE2)
 RE_CJK = r"[\x{4E00}-\x{9FFF}]"
@@ -34,7 +43,7 @@ def textstat_columns(text_col: str = "text") -> dict[str, Column]:
     ws_tokens = F.filter(F.split(c, "[ \t\r\n\f]+"), lambda x: x != F.lit(""))
     n_ws = F.size(ws_tokens)
     n_bpe = _count(c, BPE_TOKEN_RE)
-    n_punct = _count(c, r"[^\s\p{L}\p{N}]")
+    n_punct = _count(c, rf"[^{ASCII_WS}\p{{L}}\p{{N}}]")
     n_alpha = _count(c, r"[\p{L}]")
     n_stop = F.size(
         F.filter(ws_tokens, lambda x: F.lower(x).isin(_STOPWORDS))
@@ -119,7 +128,7 @@ def duckdb_textstat_sql(t: str = "text") -> dict[str, str]:
         "n_ws_tokens": f"len({ws})",
         "n_bpe_tokens": f"len(regexp_extract_all({t}, '{bpe}'))",
         "punct_ratio": (
-            f"len(regexp_extract_all({t}, '[^\\s\\p{{L}}\\p{{N}}]')) / "
+            f"len(regexp_extract_all({t}, '[^{ASCII_WS}\\p{{L}}\\p{{N}}]')) / "
             f"CAST(greatest(length({t}), 1) AS DOUBLE)"
         ),
         "alpha_ratio": (

@@ -166,3 +166,32 @@ def test_fingerprint_and_script_fuzz_vs_duckdb(spark):
                 assert abs(a - b) < 1e-12, (r["doc_id"], name)
             else:
                 assert str(a) == str(b), (r["doc_id"], name, texts[r["doc_id"]][:50])
+
+
+def test_vertical_tab_whitespace_parity(spark):
+    """Java's \\s includes \\x0B, RE2's does not — the shared patterns use
+    the explicit ASCII_WS class so both engines agree on \\x0B text."""
+    from fast_langdetect_spark.operators.textstats import (
+        duckdb_textstat_sql,
+        textstat_columns,
+    )
+
+    texts = ["a\x0bb word", "x\x0b\x0b!", "\x0b", "mix \x0b\t\n!"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ts = textstat_columns("text")
+    got = df.select("doc_id", *[c.alias(n) for n, c in ts.items()]).collect()
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(enumerate(texts), columns=["doc_id", "text"]))
+    cols = ", ".join(
+        f"{sql} AS {name}" for name, sql in duckdb_textstat_sql("text").items()
+    )
+    exp = con.sql(f"SELECT doc_id, {cols} FROM docs ORDER BY doc_id").fetchall()
+    for r in got:
+        for j, name in enumerate(ts.keys()):
+            a, b = r[name], exp[r["doc_id"]][j + 1]
+            if isinstance(a, float):
+                assert abs(a - b) < 1e-12, (r["doc_id"], name)
+            else:
+                assert a == b, (r["doc_id"], name)
