@@ -27,7 +27,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -50,7 +50,13 @@ def exact_duplicates(
     AQE-skew-splittable — a window over the same key would sort the whole
     mega-group on a single reducer and AQE cannot split windows.  The join
     is null-safe so NULL-content rows dedup among themselves exactly like
-    the window form did (a plain equi-join would silently drop them)."""
+    the window form did (a plain equi-join would silently drop them).
+
+    Precondition: the id tuple uniquely identifies rows.  Two rows carrying
+    the SAME (repo, path) AND the same content both compare equal to the
+    min representative and both get is_duplicate=false (the old row_number
+    form arbitrarily flagged one) — full-tuple duplicates are upstream
+    ingestion errors this operator does not adjudicate."""
     ids = [F.col(c) for c in id_cols]
     with_sha = df.select(*id_cols, F.sha2(F.col(text_col), 256).alias("content_sha256"))
     reps = with_sha.groupBy("content_sha256").agg(

@@ -50,3 +50,9 @@ def java_ascii_boundaries(pattern: str) -> str:
             out.append(pattern[i])
             i += 1
     return "".join(out)
+
+
+# Explicit ASCII-whitespace class for shared patterns: Java's and Python's
+# \s include vertical tab \x0B, RE2's does not — `\s` in a cross-engine
+# pattern silently diverges on \x0B-bearing text.  Use `[{ASCII_WS}]`.
+ASCII_WS = r" \t\r\n\f\x0B"

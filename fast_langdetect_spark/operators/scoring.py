@@ -78,7 +78,13 @@ def combined_scores_udf(
             out.loc[~valid, "lang_score"] = None
             yield out
 
-    return _udf
+    # asNondeterministic: the UDF IS deterministic, but declaring it so
+    # lets Catalyst push keep-filters below the salt join and re-extract
+    # the UDF into BOTH join branches — the scoring stage then runs twice
+    # per row (measured: 2 ArrowEvalPython in curate()'s plan).  Marking
+    # nondeterministic pins it to a single evaluation site; guarded by
+    # tests/test_plan_shapes.py.
+    return _udf.asNondeterministic()
 
 
 def gated_scores_udf(
@@ -138,7 +144,13 @@ def gated_scores_udf(
             out.loc[np.isnan(score32), "lang_score"] = None
             yield out
 
-    return _udf
+    # asNondeterministic: the UDF IS deterministic, but declaring it so
+    # lets Catalyst push keep-filters below the salt join and re-extract
+    # the UDF into BOTH join branches — the scoring stage then runs twice
+    # per row (measured: 2 ArrowEvalPython in curate()'s plan).  Marking
+    # nondeterministic pins it to a single evaluation site; guarded by
+    # tests/test_plan_shapes.py.
+    return _udf.asNondeterministic()
 
 
 # script classes the heuristic may short-circuit: unambiguous script → one

@@ -39,8 +39,10 @@ SCRUB_RULES: List[Tuple[str, str, str, str]] = [
     ),
     (
         "secret_assign",
+        # explicit ASCII-ws class, not \s: Java/Python \s include \x0B,
+        # RE2's does not (see regex_compat.ASCII_WS)
         r'(?i)((?:api[_-]?key|api[_-]?token|secret|token|passwd|password)'
-        r'[A-Za-z0-9_]*\s*[:=]\s*)["\'][^"\']{8,}["\']',
+        r'[A-Za-z0-9_]*[ \t\r\n\f\x0B]*[:=][ \t\r\n\f\x0B]*)["\'][^"\']{8,}["\']',
         '$1"<SECRET>"',
         r'\1"<SECRET>"',
     ),

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 # tab \x0B, RE2's does NOT — `\s` in a shared pattern silently diverges on
 # \x0B-bearing text (measured: punct_ratio 0.25 vs 0.75 on "x\x0b\x0b!").
 # The explicit class pins Java, RE2 and Python to the same set.
-ASCII_WS = r" \t\r\n\f\x0B"
+from .regex_compat import ASCII_WS  # noqa: E402  (shared dialect constant)
 
 # GPT2-style BPE pre-tokenizer pattern, lookaround-free so Java regex (Spark)
 # and RE2 (DuckDB) agree.  Public pattern family (Radford et al. 2019).

@@ -74,20 +74,27 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         kept = scored.where(F.col("keep"))
 
     # exact dedup over the text that would ship (scrubbed), min-(repo,path)
-    # representative — same rule as operators.dedup.exact_duplicates and the
-    # same skew-robust shape: groupBy-min partial-aggregates a boilerplate
-    # mega-sha map-side and the join back is AQE-skew-splittable, where a
-    # sha-partitioned row_number window would sort the whole group on one
-    # reducer.  kept rows always have a non-NULL scrub (gated on the keep
-    # predicate), so a plain equi-join loses nothing.
+    # representative — single-pass min_by aggregation: one shuffle keyed on
+    # the sha, map-side partial aggregation collapses boilerplate mega-shas
+    # (no sha-partitioned window sort on one reducer), and — unlike a
+    # groupBy-reps + join-back shape — the upstream pipeline (including the
+    # scoring UDF stage) is evaluated exactly ONCE, not once per join
+    # branch.  groupBy also keeps a NULL-sha group (a NULL-content row that
+    # passes the rule gates), where an equi-join back would silently drop
+    # it; and exactly one row survives per sha even if two rows share an
+    # identical (repo, path) tuple.
     kept = kept.withColumn("dedup_sha", F.sha2(F.col("scrubbed_content"), 256))
-    reps = kept.groupBy("dedup_sha").agg(
-        F.min(F.struct("repo", "path")).alias("__rep")
-    )
+    out_cols = kept.columns
     kept = (
-        kept.join(reps, "dedup_sha")
-        .where(F.struct("repo", "path") == F.col("__rep"))
-        .drop("__rep")
+        kept.groupBy("dedup_sha")
+        .agg(
+            F.min_by(
+                F.struct(*[c for c in out_cols if c != "dedup_sha"]),
+                F.struct("repo", "path"),
+            ).alias("__row")
+        )
+        .select("dedup_sha", "__row.*")
+        .select(*out_cols)
     )
 
     kept = kept.withColumn(

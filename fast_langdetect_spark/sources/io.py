@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 TABLE_PREFIX = "table://"
@@ -66,6 +67,17 @@ def write_results(
     """
     if uri.startswith(TABLE_PREFIX):
         name = uri[len(TABLE_PREFIX):]
+        # bootstrap: a first run against a not-yet-provisioned table should
+        # create it (partitioned) rather than fail after the whole job ran
+        try:
+            exists = df.sparkSession.catalog.tableExists(name)
+        except Exception:
+            exists = True  # unresolvable catalog name — let the write error
+        if not exists:
+            df.writeTo(name).using("parquet").partitionedBy(
+                *[F.col(c) for c in partition_by]
+            ).create()
+            return
         try:
             writer = df.writeTo(name)
             if mode == "overwrite":

@@ -64,6 +64,8 @@ def main() -> None:
         "dedup_sha", "n_chars_scrubbed", "scrubbed_content",
     )
     write_results(out, args.output, partition_by=("split", "part_bucket"))
+    # stats re-read the TARGET, so on a pre-populated table:// they count
+    # every partition, not just this run's — label them as table totals
     written = spark.read.parquet(args.output) if not args.output.startswith(
         "table://"
     ) else spark.read.table(args.output[len("table://"):])
@@ -71,8 +73,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "rows_written": sum(r["count"] for r in stats),
-                "rows_by_split": {r["split"]: r["count"] for r in stats},
+                "table_rows_total": sum(r["count"] for r in stats),
+                "table_rows_by_split": {r["split"]: r["count"] for r in stats},
                 "wall_sec": round(time.time() - t0, 2),
             }
         )

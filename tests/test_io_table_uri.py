@@ -98,3 +98,25 @@ def test_v1_fallback_raises_on_schema_mismatch(spark):
         assert spark.table(tbl).count() == 6
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_write_results_bootstraps_missing_table(spark):
+    """First run against a not-yet-provisioned table:// target creates the
+    partitioned table instead of failing after the job ran."""
+    from pyspark.sql import functions as F
+
+    from fast_langdetect_spark.sources.io import write_results
+
+    tbl = "fld_bootstrap_out"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        df = spark.range(4).select(
+            F.col("id"), F.pmod("id", F.lit(2)).alias("part_bucket")
+        )
+        write_results(df, f"table://{tbl}")
+        assert spark.table(tbl).count() == 4
+        # second run writes through the normal (existing-table) path
+        write_results(df, f"table://{tbl}")
+        assert spark.table(tbl).count() == 4  # overwritePartitions, not append
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

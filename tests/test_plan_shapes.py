@@ -54,3 +54,18 @@ def test_brute_force_topk_broadcasts_queries(spark):
     out = brute_force_topk(emb, emb.limit(4), k=3)
     plan = _plan(out)
     assert "Broadcast" in plan  # small query side broadcast, corpus streamed
+
+
+def test_curation_default_mode_single_arrow_crossing(spark):
+    """The dedup aggregation must not fan the pipeline into multiple
+    branches: default-mode curate() evaluates the scoring UDF exactly once
+    (a groupBy-reps + join-back shape planned it twice — review finding)."""
+    from fast_langdetect_spark.plans.curation import CurationConfig, curate
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig
+    from fast_langdetect_spark.sources.synth import corpus_df
+
+    out = curate(
+        corpus_df(spark, 50, partitions=2),
+        CurationConfig(pipeline=PipelineConfig(n_buckets=4)),
+    )
+    assert _plan(out).count("ArrowEvalPython") == 1

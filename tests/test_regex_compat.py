@@ -33,6 +33,7 @@ BOUNDARY_CASES = [
     "a10.0.0.1 x",               # same for the IP rule
     "文fuck言",                   # toxicity word inside CJK
     "sfuckx",                    # embedded in ASCII word → NOT flagged
+    'password\x0b= "hunterhunter2" x',  # \x0B: Java/Python \s has it, RE2 not
 ]
 
 
