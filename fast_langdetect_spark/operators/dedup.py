@@ -39,7 +39,11 @@ _DF_CAP_LOGGED = False  # one warning per process (token_jaccard df-cap)
 
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "content", id_cols: tuple = ("repo", "path")
+    df: DataFrame,
+    text_col: str = "content",
+    id_cols: tuple = ("repo", "path"),
+    *,
+    assert_unique_ids: bool = False,
 ) -> DataFrame:
     """Mark exact duplicates by sha256: the representative (min id tuple) of
     each content group survives with is_duplicate=false.
@@ -56,7 +60,25 @@ def exact_duplicates(
     the SAME (repo, path) AND the same content both compare equal to the
     min representative and both get is_duplicate=false (the old row_number
     form arbitrarily flagged one) — full-tuple duplicates are upstream
-    ingestion errors this operator does not adjudicate."""
+    ingestion errors this operator does not adjudicate.  Pass
+    ``assert_unique_ids=True`` to surface such ingestion errors eagerly
+    (one extra map-side-partial aggregation job, raises ValueError with an
+    example offending tuple) instead of letting the duplicates pass through
+    flagged kept (ADVICE r03)."""
+    if assert_unique_ids:
+        offender = (
+            df.groupBy(*id_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if offender:
+            raise ValueError(
+                f"exact_duplicates: id columns {id_cols} do not uniquely "
+                f"identify rows — e.g. {offender[0].asDict()} appears "
+                "multiple times (upstream ingestion duplicate)"
+            )
     ids = [F.col(c) for c in id_cols]
     with_sha = df.select(*id_cols, F.sha2(F.col(text_col), 256).alias("content_sha256"))
     reps = with_sha.groupBy("content_sha256").agg(

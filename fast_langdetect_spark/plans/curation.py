@@ -57,13 +57,11 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         # null out scrubbed_content for keep_rules-only survivors)
         from ..operators.decision import with_rule_decision
         from ..operators.quality import with_quality_metrics
-        from .pipeline import with_partitioning
+        from .pipeline import shuffle_partition_count, with_partitioning
 
         pcfg = cfg.pipeline
         part = with_partitioning(df, pcfg)
-        n_shuffle = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        n_shuffle = shuffle_partition_count(df.sparkSession)
         part = part.repartition(n_shuffle, F.col("part_bucket"), F.col("salt"))
         scored = with_rule_decision(
             with_quality_metrics(part, "content"), pcfg.quality, "content"

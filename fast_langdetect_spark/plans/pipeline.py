@@ -102,6 +102,17 @@ def with_partitioning(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df
 
 
+def shuffle_partition_count(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``sparkContext.defaultParallelism`` when the conf is unset or non-numeric
+    (some deployments set it to ``"auto"`` and let AQE size exchanges; an
+    explicit repartition still needs a concrete count)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def score_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """The map-only scoring chain: langid → perplexity → metrics → decision.
 
@@ -131,7 +142,7 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """
     cfg = cfg or PipelineConfig()
     df = with_partitioning(df, cfg)
-    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_shuffle = shuffle_partition_count(df.sparkSession)
     df = df.repartition(n_shuffle, F.col("part_bucket"), F.col("salt"))
     return score_pipeline(df, cfg)
 

@@ -15,11 +15,14 @@ on both backends; plans/lineage.py documents the mapping.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
+
+_LOG = logging.getLogger(__name__)
 
 TABLE_PREFIX = "table://"
 
@@ -74,9 +77,10 @@ def write_results(
         except Exception:
             exists = True  # unresolvable catalog name — let the write error
         if not exists:
-            df.writeTo(name).using("parquet").partitionedBy(
-                *[F.col(c) for c in partition_by]
-            ).create()
+            writer = df.writeTo(name).using("parquet")
+            if partition_by:  # partitionedBy requires ≥1 column
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.create()
             return
         try:
             writer = df.writeTo(name)
@@ -88,7 +92,7 @@ def write_results(
         except Exception as exc:  # v1 session-catalog table → v1 writer
             if not _v1_fallback_applies(df, name, exc):
                 raise
-        _v1_table_write(df, name, overwrite=(mode == "overwrite"))
+            _retry_v1(df, name, overwrite=(mode == "overwrite"), cause=exc)
         return
     conf = df.sparkSession.conf
     key = "spark.sql.sources.partitionOverwriteMode"
@@ -98,6 +102,23 @@ def write_results(
         df.write.mode(mode).partitionBy(*partition_by).parquet(uri)
     finally:
         conf.set(key, prev)
+
+
+def _retry_v1(df: DataFrame, name: str, overwrite: bool, cause: Exception) -> None:
+    """Run the v1 insertInto retry with the ORIGINAL writeTo failure kept in
+    view (ADVICE r03): the fallback eligibility test is deliberately broad
+    (any AnalysisException against a catalog-resolvable table), so a genuine
+    v2-writer failure that slips through must not vanish — the original
+    exception is logged up front and chained (``raise ... from``) onto any
+    error the retry itself raises."""
+    _LOG.warning(
+        "writeTo(%r) failed (%s: %s); retrying via v1 insertInto path",
+        name, type(cause).__name__, cause,
+    )
+    try:
+        _v1_table_write(df, name, overwrite=overwrite)
+    except Exception as v1_exc:
+        raise v1_exc from cause
 
 
 def _v1_table_write(df: DataFrame, name: str, overwrite: bool) -> None:
@@ -138,6 +159,6 @@ def append_lineage(df: DataFrame, uri: str) -> None:
         except Exception as exc:
             if not _v1_fallback_applies(df, name, exc):
                 raise
-        _v1_table_write(df, name, overwrite=False)
+            _retry_v1(df, name, overwrite=False, cause=exc)
         return
     df.write.mode("append").parquet(uri)

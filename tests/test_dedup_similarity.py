@@ -324,3 +324,21 @@ def test_exact_duplicates_null_content_and_skew_shape(spark):
         for r in exact_duplicates(df, text_col="text", id_cols=("doc_id",)).collect()
     }
     assert got == {1: False, 2: True, 3: False, 4: True, 5: False}
+
+
+def test_exact_duplicates_assert_unique_ids(spark):
+    """Opt-in ingestion-duplicate guard (ADVICE r03): full-tuple duplicate
+    rows raise eagerly instead of both passing through flagged kept."""
+    clean = spark.createDataFrame(
+        [("r1", "a", "x"), ("r1", "b", "x")], "repo string, path string, content string"
+    )
+    out = exact_duplicates(clean, text_col="content", assert_unique_ids=True)
+    assert out.where("is_duplicate").count() == 1
+
+    dirty = clean.union(
+        spark.createDataFrame([("r1", "a", "x")], clean.schema)
+    )
+    with pytest.raises(ValueError, match="uniquely"):
+        exact_duplicates(dirty, text_col="content", assert_unique_ids=True)
+    # default stays permissive (documented precondition, no extra job)
+    assert exact_duplicates(dirty, text_col="content").count() == 3

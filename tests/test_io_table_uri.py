@@ -100,6 +100,45 @@ def test_v1_fallback_raises_on_schema_mismatch(spark):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_v1_retry_chains_original_exception(spark):
+    """When the v1 retry itself fails, the ORIGINAL writeTo failure must
+    survive as __cause__ (ADVICE r03: the broad fallback eligibility must
+    not discard the root cause)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fast_langdetect_spark.sources.io import write_results
+
+    tbl = "fld_v1_chain"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        base = spark.range(3).select(
+            F.col("id"), F.pmod("id", F.lit(2)).alias("part_bucket")
+        )
+        base.write.partitionBy("part_bucket").saveAsTable(tbl)
+        evolved = base.withColumn("new_metric", F.lit(1.0))
+        with pytest.raises(ValueError, match="schema mismatch") as excinfo:
+            write_results(evolved, f"table://{tbl}", mode="append")
+        assert excinfo.value.__cause__ is not None  # original writeTo error
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_write_results_bootstraps_unpartitioned_table(spark):
+    """Empty partition_by must bootstrap-create an UNPARTITIONED table
+    (partitionedBy requires ≥1 column — ADVICE r03)."""
+    from fast_langdetect_spark.sources.io import write_results
+
+    tbl = "fld_bootstrap_flat"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        df = spark.range(4).withColumn("v", F.lit("x"))
+        write_results(df, f"table://{tbl}", partition_by=())
+        assert spark.table(tbl).count() == 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_write_results_bootstraps_missing_table(spark):
     """First run against a not-yet-provisioned table:// target creates the
     partitioned table instead of failing after the job ran."""

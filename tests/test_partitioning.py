@@ -47,3 +47,29 @@ def test_bucket_assignment_stable_and_bounded(spark):
     # same repo → same bucket (the property resume relies on)
     per_repo = a.groupBy("repo").agg(F.countDistinct("part_bucket").alias("nb")).collect()
     assert all(r["nb"] == 1 for r in per_repo)
+
+
+def test_shuffle_partition_count_non_numeric_conf(spark):
+    """A deployment that sets spark.sql.shuffle.partitions to a non-numeric
+    value (e.g. "auto", which some managed runtimes allow) must fall back to
+    defaultParallelism instead of throwing at plan-construction time
+    (VERDICT r03 #8).  Vanilla Spark rejects setting the conf non-numeric at
+    runtime, so the fallback path is exercised through a stub session."""
+    from fast_langdetect_spark.plans.pipeline import shuffle_partition_count
+
+    assert shuffle_partition_count(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    class _Conf:
+        def get(self, key):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Stub:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert shuffle_partition_count(_Stub()) == 7
