@@ -687,6 +687,7 @@ def _ivf_oracle_sql() -> str:
 
     from fast_langdetect_spark.operators.similarity import (
         _spherical_kmeans,
+        hash_sample_order,
         ivf_cells_np,
         ivf_probes_np,
     )
@@ -694,7 +695,10 @@ def _ivf_oracle_sql() -> str:
     n_clusters, n_probe, train_sample, seed = 8, 4, 10_000, 11
     rows = _oracle_embeddings()
     mat = np.asarray([v for _, v in rows], dtype=np.float32)
-    cent = _spherical_kmeans(mat[:train_sample], n_clusters, seed=seed)
+    # mirror ivf_topk's deterministic hash-ranked training sample (the row
+    # ORDER matters too: k-means init draws by sample position)
+    order = hash_sample_order([vid for vid, _ in rows])[:train_sample]
+    cent = _spherical_kmeans(mat[order], n_clusters, seed=seed)
     cells = ivf_cells_np(mat, cent)
     ids = [vid for vid, _ in rows]
     q_idx = [i for i, vid in enumerate(ids) if vid < 8]

@@ -236,6 +236,22 @@ SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= {k}
 # --------------------------------------------------------------------- IVF
 
 
+def hash_sample_order(ids: list) -> list:
+    """Python twin of the Spark hash-ranked IVF training sample: indices of
+    ``ids`` sorted by (sha256(str(id)) hex, id) — the exact total order that
+    ``orderBy(sha2(cast(id AS STRING), 256), id)`` produces (lowercase-hex
+    lexicographic comparison is bytewise-identical in both engines).  Shared
+    by ivf_topk's oracle precompute so the training sample — and therefore
+    the k-means centroids, whose init draws by sample ROW position — is
+    bit-identical on both sides."""
+    import hashlib
+
+    return sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.sha256(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+
+
 def _spherical_kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
                       seed: int = 11) -> np.ndarray:
     """Tiny spherical k-means (public Lloyd's algorithm) for the IVF coarse
@@ -294,6 +310,7 @@ def ivf_topk(
     n_probe: int = 4,
     train_sample: int = 10_000,
     seed: int = 11,
+    sample_strategy: str = "hash",
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer → probe the n_probe nearest
     cells per query → exact cosine rerank inside the probed cells.
@@ -305,11 +322,24 @@ def ivf_topk(
     """
     # orderBy before limit: a bare limit takes whatever partitions answer
     # first, so the k-means training sample (hence centroids, hence cell
-    # assignments) would vary run-to-run.  TakeOrdered is deterministic and
-    # bounded (train_sample rows on the driver).
+    # assignments) would vary run-to-run.  The DEFAULT rank key is
+    # sha256(id) — content-addressed, deterministic, and uniform over the
+    # corpus regardless of id layout.  Ranking by raw id (the "prefix"
+    # strategy) is equally deterministic but takes the first train_sample
+    # ids, which at deployment scale are typically one repo/source: the
+    # centroids then mis-span the embedding space and probe recall decays
+    # silently (VERDICT r03 #1; regression demonstrated in
+    # tests/test_dedup_similarity.py::test_ivf_hash_sample_beats_prefix).
+    # "prefix" is retained only for that comparison.
+    if sample_strategy == "hash":
+        rank = [F.sha2(F.col(id_col).cast("string"), 256), F.col(id_col)]
+    elif sample_strategy == "prefix":
+        rank = [F.col(id_col)]
+    else:
+        raise ValueError(f"unknown sample_strategy: {sample_strategy!r}")
     sample_rows = (
         corpus.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(*rank)
         .limit(train_sample)
         .toPandas()[vec_col]
         .tolist()

@@ -342,3 +342,44 @@ def test_exact_duplicates_assert_unique_ids(spark):
         exact_duplicates(dirty, text_col="content", assert_unique_ids=True)
     # default stays permissive (documented precondition, no extra job)
     assert exact_duplicates(dirty, text_col="content").count() == 3
+
+
+def test_ivf_hash_sample_beats_prefix(spark):
+    """VERDICT r03 #1: when the first train_sample ids are ONE cluster (the
+    typical id layout of a by-source-ingested corpus), prefix-sampled
+    centroids mis-span the space and probe recall collapses; the default
+    hash-ranked sample is immune to id layout."""
+    import numpy as np
+
+    from fast_langdetect_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    dim, n_clu, per = 16, 8, 250
+    centers = rng.normal(size=(n_clu, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per, axis=0) + 0.25 * rng.normal(
+        size=(n_clu * per, dim)
+    )
+    # id // 250 == cluster → the id-prefix training sample is cluster 0 only
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    queries = emb.where(F.col("vec_id") % 125 == 0)  # 2 per cluster
+    exact = brute_force_topk(emb, queries, k=5)
+    exact_set = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+
+    def recall(strategy):
+        out = ivf_topk(
+            emb, queries, k=5, n_clusters=8, n_probe=1, train_sample=250,
+            sample_strategy=strategy,
+        )
+        got = {(r["q_id"], r["c_id"]) for r in out.collect()}
+        return len(exact_set & got) / len(exact_set)
+
+    r_hash, r_prefix = recall("hash"), recall("prefix")
+    assert r_hash >= 0.8, f"hash-sample recall collapsed: {r_hash}"
+    assert r_hash - r_prefix >= 0.2, (
+        f"prefix sampling should be demonstrably worse on a clustered-prefix "
+        f"corpus: hash={r_hash} prefix={r_prefix}"
+    )
