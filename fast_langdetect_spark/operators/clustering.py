@@ -6,20 +6,26 @@ are all one boilerplate family, keep exactly one" — i.e. connected
 components over the pair graph, with a deterministic representative per
 component (min doc id, matching exact_duplicates' min-id-survives rule).
 
-Algorithm: iterative min-label propagation (public algorithm; the
-alternating small-star/large-star variant is Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC 2014).  Each round every node
-adopts the smallest label among itself and its neighbours; fixpoint =
-components labelled by their minimum member id.
+Algorithm: iterative min-label propagation PLUS per-round pointer jumping
+(label ← label of label), the classic shortcutting step — both public
+algorithms; the propagation/shortcut combination is the same mechanism as
+the alternating small-star/large-star scheme of Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014.  Each round every node
+first adopts the smallest label among itself and its neighbours, then
+shortcuts through its label's own label; fixpoint = components labelled by
+their minimum member id.
 
-Scale shape: each round is one shuffle of the EDGE list (join on src +
-groupBy dst) — never the corpus.  Near-dup graphs are tiny relative to the
-corpus (pairs above threshold) and their components are dense near-cliques
-(diameter 2-4: members all overlap the same shingle mass), so plain
-min-propagation converges in a handful of rounds; pathological long-chain
-components would need the small-star/large-star variant, but upstream
-bucket caps (dedup.py max_bucket_size) bound component size before this
-operator ever sees them.  Lineage is truncated every round with an eager
+Plain min-propagation alone needs O(component diameter) rounds, which
+hard-fails on long near-dup CHAINS (A~B~C with A≁C — shingle drift across
+file versions; the edge source token_jaccard_pairs has no bucket cap, so
+such chains are not hypothetical at scale — VERDICT/ADVICE r03).  The
+shortcut step doubles the distance a label travels per round, making the
+round count O(log diameter): a 10⁶-node path converges in ~20 rounds.
+
+Scale shape: each round shuffles only the EDGE list and the label table
+(join on src + groupBy dst, then a self-join of the label table) — never
+the corpus.  Near-dup graphs are tiny relative to the corpus (pairs above
+threshold).  Lineage is truncated every round with an eager
 ``localCheckpoint`` so the loop's plan does not grow (same hygiene as
 minhash_lsh_pairs), which also makes the operator EAGER.
 """
@@ -61,7 +67,7 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new = (
+        stepped = (
             labels.withColumnRenamed("label", "old")
             .join(nbr_min, "id", "left")
             .select(
@@ -70,6 +76,24 @@ def connected_components(
                 F.least(F.col("old"), F.coalesce("nbr_label", F.col("old"))).alias(
                     "label"
                 ),
+            )
+        )
+        # pointer jumping: shortcut through the label's own label.  Every
+        # label is a node id (inductively: starts as the node's own id, and
+        # min over node ids stays a node id), so the self-join lookup always
+        # resolves; coalesce is belt-and-braces.  This is what turns
+        # O(diameter) rounds into O(log diameter) on chain graphs.
+        lmap = stepped.select(
+            F.col("id").alias("lid"), F.col("label").alias("llabel")
+        )
+        new = (
+            stepped.join(lmap, stepped["label"] == lmap["lid"], "left")
+            .select(
+                "id",
+                "old",
+                F.least(
+                    F.col("label"), F.coalesce("llabel", F.col("label"))
+                ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
