@@ -472,6 +472,67 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup suppression (streaming/dedup.py): minhash-band the
+    stream, watermarked windowed min-id owner per band bucket (append mode
+    → bounded state), then kept = owns-all-bands.  Event times are a
+    deterministic function of doc_id; a far-future sentinel row advances
+    the watermark past the real data's window so append mode emits it
+    (production streams always have later data — the sentinel just stands
+    in for it).  Min-id ownership makes the output invariant to arrival
+    order and micro-batch boundaries, which is what makes a batch oracle
+    possible at all.  Oracle: independent signature recompute (shared pure
+    fn, no Spark) + the same owner/keep logic in SQL, bucketing on the raw
+    signature slice (the hash-collision-free twin of xxhash64 bucketing,
+    same equivalence as minhash_near_dups)."""
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from fast_langdetect_spark.streaming.dedup import (
+        near_dedup_keep_flags,
+        near_dedup_stream_band_owners,
+    )
+
+    base_epoch = 1704067200  # 2024-01-01 00:00:00 UTC
+    sentinel_id = 10**9
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(base_epoch) + F.col("doc_id")).alias("ts"),
+    )
+    staged = docs.unionByName(
+        spark.range(1).select(
+            F.lit(sentinel_id).cast("long").alias("doc_id"),
+            F.lit("__watermark_sentinel__").alias("text"),
+            F.timestamp_seconds(F.lit(base_epoch + 10 * 86400)).alias("ts"),
+        )
+    )
+    src_dir = Path(tempfile.mkdtemp(prefix="fld_stream_near_"))
+    data = str(src_dir / "data")
+    staged.coalesce(1).write.mode("overwrite").parquet(data)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(data)
+    name = f"stream_near_{uuid.uuid4().hex[:8]}"
+    q = (
+        near_dedup_stream_band_owners(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    flags = near_dedup_keep_flags(
+        spark.read.parquet(data).where(F.col("doc_id") < sentinel_id),
+        spark.table(name),
+    ).localCheckpoint(eager=True)  # materialize before the source dir goes
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return flags
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "langid_top1": _q_langid_top1,
@@ -501,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _q_corpus_sample,
         "curation": _q_curation,
         "stream_dedup": _q_stream_dedup,
+        "stream_near_dedup": _q_stream_near_dedup,
     }
 
 
@@ -587,6 +649,43 @@ scored AS (
 )
 SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard_r
 FROM scored WHERE est_jaccard >= 0.5
+"""
+
+
+def _stream_near_oracle_sql() -> str:
+    """Batch oracle for the streaming near-dup suppression: recompute the
+    minhash signatures locally (shared pure fn), band by raw signature
+    slice, owner = MIN(id) per bucket, kept = owns all bands.  All event
+    times land in one 24 h window, so the window key is constant and drops
+    out of the grouping."""
+    from fast_langdetect_spark.operators.dedup import (
+        _perm_params,
+        minhash_signatures_np,
+    )
+
+    n_perm, n_bands, shingle_k, seed = 64, 16, 5, 42
+    rpb = n_perm // n_bands
+    docs = _oracle_docs(10**9)
+    a, b = _perm_params(n_perm, seed)
+    sigs = minhash_signatures_np([t or "" for _, t in docs], a, b, shingle_k)
+    vals = ",\n".join(
+        f"(CAST({doc_id} AS BIGINT), CAST([{','.join(map(str, sig))}] AS BIGINT[]))"
+        if i == 0
+        else f"({doc_id}, [{','.join(map(str, sig))}])"
+        for i, ((doc_id, _), sig) in enumerate(zip(docs, sigs))
+    )
+    return f"""
+WITH sigs(id, sig) AS (VALUES {vals}),
+bands AS (
+  SELECT id, band, sig[band*{rpb}+1 : band*{rpb}+{rpb}] AS bslice
+  FROM sigs, range(0, {n_bands}) t(band)
+),
+owners AS (
+  SELECT band, bslice, MIN(id) AS owner FROM bands GROUP BY band, bslice
+)
+SELECT b.id AS doc_id, bool_and(o.owner = b.id) AS kept
+FROM bands b JOIN owners o USING (band, bslice)
+GROUP BY b.id
 """
 
 
@@ -1119,6 +1218,7 @@ def _signature_cte_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, builder in (
         ("minhash_near_dups", _minhash_oracle_sql),
+        ("stream_near_dedup", _stream_near_oracle_sql),
         ("simhash_near_dups", _simhash_oracle_sql),
         ("srp_ann", _srp_oracle_sql),
         ("ivf_ann", _ivf_oracle_sql),

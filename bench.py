@@ -221,20 +221,30 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    # setup phases are timed so a drift in fixed per-session cost (module
+    # import growth, session build, worker warmup) shows up in the artifact
+    # instead of masquerading as query regression (VERDICT r03 #4)
+    t_setup = time.time()
     from fast_langdetect_spark.session import build_session
+
+    import_sec = round(time.time() - t_setup, 3)
 
     # cpus*8 measured best on this host (A/B at local[2]/[8]/[32], 500k
     # corpus): finer tasks shrink the straggler tail ~11% at local[32] and
     # cut both wall AND cpu sharply at low core counts (smaller in-flight
     # shuffle partitions → less JVM memory pressure)
+    t_setup = time.time()
     spark = build_session(app_name="fld-bench", cpus=cpus, shuffle_partitions=cpus * 8)
+    session_sec = round(time.time() - t_setup, 3)
     corpus_path = _materialize_corpus(spark, BENCH_CORPUS_ROWS)
 
     # warm the JVM + all python workers (model/LM load, numpy heap
     # first-touch) outside the timed section — steady-state throughput is
     # what matters for the 100 TB projection
+    t_setup = time.time()
     q_langid_docs(spark, "/root/testdata/sf0.001")
     q_pipeline(spark, corpus_path)
+    warmup_sec = round(time.time() - t_setup, 3)
 
     only = os.environ.get("FLD_BENCH_QUERIES")
     selected = set(only.split(",")) if only else None
@@ -265,12 +275,18 @@ def main() -> None:
             load = _wait_quiet()
             canary = _canary_sec()
             canary_floor = min(canary_floor, canary)
-            c0 = _tree_cpu_jiffies()
-            t0 = time.time()
+            # t0/dt INSIDE the monitor context: __exit__ joins the sampler
+            # thread, which can be mid-way through a non-interruptible 1 s
+            # /proc sample — timing around the with-block quantized every
+            # sub-second query up to ~1.0 s (the r03 "small-query
+            # regression" was exactly this measurement artifact, not
+            # engine cost: all three 5k-row queries read 1.02–1.03 s)
             with _MidRunMonitor() as mon:
+                c0 = _tree_cpu_jiffies()
+                t0 = time.time()
                 res = fn()
-            dt = time.time() - t0
-            cpu = (_tree_cpu_jiffies() - c0) / hz
+                dt = time.time() - t0
+                cpu = (_tree_cpu_jiffies() - c0) / hz
             if best is None or dt < best[0]:
                 best = (dt, load, cpu, mon.mean, mon.peak, canary)
             # retry only a polluted first attempt: visible co-tenant load at
@@ -313,6 +329,11 @@ def main() -> None:
                 "mid_external_peak": mid_peaks,
                 "canary_sec": canaries,
                 "cpu_sec": cpu_secs,
+                "setup_sec": {
+                    "import": import_sec,
+                    "session": session_sec,
+                    "warmup": warmup_sec,
+                },
                 "files_per_sec": (
                     round(BENCH_CORPUS_ROWS / timings["pipeline_corpus"], 1)
                     if "pipeline_corpus" in timings

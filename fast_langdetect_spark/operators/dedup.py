@@ -292,6 +292,54 @@ def minhash_signatures_np(
     return out
 
 
+def _band_struct_explode(n_bands: int, rows_per_band: int):
+    """explode(sig → (band, bhash)) expression shared by the batch LSH join
+    and the streaming near-dedup operator, so both bucket on bit-identical
+    keys: band b's hash is xxhash64 of signature slice [b·rpb, (b+1)·rpb)."""
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda i: F.struct(
+                i.alias("band"),
+                F.xxhash64(
+                    F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                ).alias("bhash"),
+            ),
+        )
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_perm: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """(id[, keep_cols...], sig, band, bhash) — minhash-signature the text
+    and explode into banded LSH keys.  Stateless (pandas UDF + explode), so
+    it works identically on batch and STREAMING DataFrames; the streaming
+    near-dedup operator builds on it."""
+    rows_per_band = n_perm // n_bands
+    sig_udf = minhash_signature_udf(n_perm, shingle_k, seed)
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
+        sig_udf(F.col(text_col)).alias("sig"),
+    )
+    return sigs.select(
+        "id", *keep_cols, "sig",
+        _band_struct_explode(n_bands, rows_per_band).alias("bb"),
+    ).select(
+        "id", *keep_cols, "sig",
+        F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -326,17 +374,7 @@ def minhash_lsh_pairs(
     bands = sigs.select(
         "id",
         "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.slice("sig", i * rows_per_band + 1, rows_per_band)
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("bb"),
+        _band_struct_explode(n_bands, rows_per_band).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
 
     # cap pathological buckets — and report what the cap dropped (one cheap

@@ -18,6 +18,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -144,7 +145,10 @@ def main() -> None:
     # only by bench.py's fixed-work spin canary).  Levels therefore run
     # INTERLEAVED for several trials; the reported efficiency comes from the
     # best SAME-TRIAL pair whose two runs are both clean (gate load, mid-run
-    # peak, canary), never assembled across invocations.
+    # peak, canary), never assembled across invocations.  Trials keep
+    # running until FLD_SCALING_CLEAN_PAIRS clean pairs exist (or the
+    # FLD_SCALING_MAX_MIN deadline passes) so one co-tenant burst cannot
+    # leave the invocation without gate-grade evidence (VERDICT r03 #2).
     # clamp levels to the host BEFORE any math: run_level would clamp the
     # actual run anyway, and computing eff with the CONFIGURED ratio against
     # walls measured at a clamped level silently falsifies the gate
@@ -158,32 +162,65 @@ def main() -> None:
             f"{n_host} host CPUs — nothing to compare"
         )
     n_lo, n_hi = levels
+    target_clean = int(os.environ.get("FLD_SCALING_CLEAN_PAIRS", "1"))
+    deadline = time.time() + 60 * float(os.environ.get("FLD_SCALING_MAX_MIN", "60"))
     trials: list[dict] = []
-    for _ in range(TRIALS):
+
+    def floors() -> dict:
+        # canary floors are PER LEVEL: the canary shares the taskset mask
+        # with the (idle but ticking) JVM tree, so its absolute value
+        # differs by level — only same-level inflation across trials marks
+        # pollution.  Recomputed as trials accumulate.
+        return {
+            lvl: min(
+                (t[lvl]["canary"] for t in trials if t[lvl]["canary"]),
+                default=None,
+            )
+            for lvl in levels
+        }
+
+    def clean(lvl: int, s: dict, fl: dict) -> bool:
+        # ALL pollution signals: the pre-run gate load (a timed-out
+        # _wait_quiet proceeds anyway and records it), the mid-run peak,
+        # and the spin canary vs the per-level floor (ADVICE r03: the gate
+        # load sample was previously documented but not enforced)
+        floor = fl[lvl]
+        return (
+            (s["ext"] is None or s["ext"] <= 1.0)
+            and s["peak"] <= 0.75
+            and (
+                s["canary"] is None
+                or floor is None
+                or s["canary"] <= 1.15 * floor
+            )
+        )
+
+    def score_all() -> list:
+        fl = floors()
+        out = []
+        for t in trials:
+            lo, hi = t[n_lo], t[n_hi]
+            eff = lo["wall"] / ((n_hi / n_lo) * hi["wall"])
+            out.append((eff, lo, hi, clean(n_lo, lo, fl) and clean(n_hi, hi, fl)))
+        return out
+
+    while True:
         trials.append({cpus: _stats(run_level(cpus)) for cpus in levels})
-    # canary floors are PER LEVEL: the canary shares the taskset mask with
-    # the (idle but ticking) JVM tree, so its absolute value differs by
-    # level — only same-level inflation across trials marks pollution
-    floors = {
-        lvl: min(
-            (t[lvl]["canary"] for t in trials if t[lvl]["canary"]),
-            default=None,
-        )
-        for lvl in levels
-    }
+        scored = score_all()
+        n_clean = sum(1 for s in scored if s[3])
+        if len(trials) >= TRIALS and n_clean >= target_clean:
+            break
+        if time.time() > deadline:
+            print(
+                f"deadline hit with {n_clean}/{target_clean} clean pairs "
+                f"after {len(trials)} trials", file=sys.stderr,
+            )
+            break
 
-    def clean(lvl: int, s: dict) -> bool:
-        floor = floors[lvl]
-        return s["peak"] <= 0.75 and (
-            s["canary"] is None or floor is None or s["canary"] <= 1.15 * floor
-        )
-
-    scored = []
-    for t in trials:
-        lo, hi = t[n_lo], t[n_hi]
-        eff = lo["wall"] / ((n_hi / n_lo) * hi["wall"])
-        scored.append((eff, lo, hi, clean(n_lo, lo) and clean(n_hi, hi)))
     valid = [s for s in scored if s[3]]
+    # With no clean pair the best POLLUTED pair is still REPORTED (the
+    # artifact stays self-describing) but both gates are forced FAIL —
+    # a polluted run must never bank a PASS (ADVICE r03).
     eff, lo, hi, pair_clean = max(valid or scored, key=lambda s: s[0])
 
     envelope = cpu_envelope(n_lo, n_hi)
@@ -196,12 +233,16 @@ def main() -> None:
         round(lo["cpu"] / hi["cpu"], 3) if lo["cpu"] and hi["cpu"] else None
     )
     rel_env = round(eff / envelope, 3)
-    gate_wall = eff >= 0.8
+    gate_wall = pair_clean and eff >= 0.8
     # decomposed gate (VERDICT r02 #1): the engine scales if it conserves
     # work AND achieves ≥0.8 of whatever ceiling the shared silicon itself
-    # sets between the two levels (measured by the pure-CPU burn envelope)
+    # sets between the two levels (measured by the pure-CPU burn envelope).
+    # Both gates require a CLEAN pair — polluted evidence is indicative only.
     gate_decomposed = (
-        conservation is not None and conservation >= 0.9 and rel_env >= 0.8
+        pair_clean
+        and conservation is not None
+        and conservation >= 0.9
+        and rel_env >= 0.8
     )
     summary = {
         "metric": "scaling_efficiency_N_vs_4N",
@@ -217,6 +258,7 @@ def main() -> None:
         "gate": ">=0.8",
         "pass": gate_wall,
         "pass_decomposed": gate_decomposed,
+        "n_clean_pairs": len(valid),
         "trials": [
             {"eff": round(e, 3), "clean": c, f"t{n_lo}": l["wall"], f"t{n_hi}": h["wall"]}
             for e, l, h, c in scored
@@ -233,6 +275,13 @@ def main() -> None:
             f"| {s['mid']}/{s['peak']} | {s['canary']} |\n"
         )
 
+    clean_lines = "".join(
+        f"- clean pair {i + 1}: eff {e:.3f} "
+        f"(T({n_lo})={l['wall']} s, T({n_hi})={h['wall']} s, "
+        f"canaries {l['canary']}/{h['canary']}, mid peaks {l['peak']}/{h['peak']})\n"
+        for i, (e, l, h, c) in enumerate(scored)
+        if c
+    ) or "- (no clean pair this invocation — gates forced FAIL)\n"
     md = (
         f"\n## Scaling run {stamp}\n\n"
         f"| parallelism | wall (s) | files/sec | cpu (s) | gate load | mid load mean/peak | canary (s) |\n"
@@ -242,7 +291,7 @@ def main() -> None:
         + f"\nBest same-trial pair of {len(scored)} interleaved trials "
         f"(pair clean: {pair_clean}; all trials: "
         f"{[round(e, 3) for e, _, _, _ in scored]}); per-level canary floors "
-        f"{floors} — {hi['rows']:,} files, full pipeline (langid+ppl "
+        f"{floors()} — {hi['rows']:,} files, full pipeline (langid+ppl "
         f"UDF, rules, scrub, decision, bucketed+salted repartition), same "
         f"input both levels.\n\n"
         f"- **GATE wall-efficiency = T(N)/({n_hi // n_lo}·T(4N)) = {eff:.3f} "
@@ -252,7 +301,8 @@ def main() -> None:
         f"eff/envelope {rel_env} ≥ 0.8, envelope {envelope:.3f}): "
         f"{'PASS' if gate_decomposed else 'FAIL'}** — conservation ≈ 1 means "
         f"no engine serialization; the envelope is the ceiling the shared "
-        f"silicon itself sets between these levels (pure-CPU burn, pinned).\n"
+        f"silicon itself sets between these levels (pure-CPU burn, pinned).\n\n"
+        f"All clean pairs this invocation:\n{clean_lines}"
     )
     with open(REPO / "BENCH.md", "a") as f:
         f.write(md)

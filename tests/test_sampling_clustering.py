@@ -245,3 +245,62 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(e, max_iter=20).collect()
     assert len(got) == n
     assert {r["cluster_id"] for r in got} == {0}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # bucket
+            st.integers(min_value=0, max_value=300),  # size (may exceed budget)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pack_shards_overflow_invariant_property(spark, rows):
+    """VERDICT r03 #7, hypothesis-tested: for ANY sizes (including docs
+    bigger than the budget) and ANY bucket split, concat-then-cut packing
+    guarantees (1) every shard's total ≤ budget + its largest member,
+    (2) shard indices are non-decreasing along the pack order, starting at
+    0, and (3) when every doc fits the budget, indices are DENSE (no gaps —
+    an oversized doc may legitimately skip indices)."""
+    budget = 100
+    df = spark.createDataFrame(
+        [(b, i, s) for i, (b, s) in enumerate(rows)],
+        "bucket int, doc_id int, n_chars int",
+    )
+    out = pack_shards(
+        df, size_col="n_chars", part_col="bucket", order_col="doc_id",
+        shard_budget=budget,
+    ).collect()
+    by_bucket: dict = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(out) == len(rows)
+    for bucket, rs in by_bucket.items():
+        idxs = [r["shard_idx"] for r in rs]
+        assert idxs[0] == 0
+        assert all(a <= b for a, b in zip(idxs, idxs[1:]))  # monotone
+        shard_totals: dict = {}
+        shard_max: dict = {}
+        for r in rs:
+            shard_totals[r["shard_idx"]] = (
+                shard_totals.get(r["shard_idx"], 0) + r["n_chars"]
+            )
+            shard_max[r["shard_idx"]] = max(
+                shard_max.get(r["shard_idx"], 0), r["n_chars"]
+            )
+            assert r["shard_id"] == f"{bucket}/{r['shard_idx']}"
+        for si, tot in shard_totals.items():
+            assert tot <= budget + shard_max[si], (bucket, si, tot)
+        if all(r["n_chars"] <= budget for r in rs):
+            assert sorted(shard_totals) == list(range(len(shard_totals)))
