@@ -278,6 +278,23 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the DEFAULT production path of
+    cosine_near_pairs: SRP banded-LSH candidates (equi-join, capped) →
+    exact cosine rerank → threshold.  The oracle re-derives the SAME
+    candidate set from independently recomputed signatures, so LSH recall
+    cancels out and the check verifies banding + cap + rerank + threshold
+    end to end (upgrades the one previously oracle-adjacent operator —
+    VERDICT r03 coverage table)."""
+    from fast_langdetect_spark.operators.similarity import cosine_near_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_near_pairs(emb, threshold=0.35)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
 def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / quality-stat columns (oracle-checked)."""
     from fast_langdetect_spark.operators.textstats import textstat_columns
@@ -550,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "srp_ann": _q_srp_ann,
         "ivf_ann": _q_ivf_ann,
+        "cosine_near_dups": _q_cosine_near_dups,
         "textstats": _q_textstats,
         "quality_score": _q_quality_score,
         "fingerprints": _q_fingerprints,
@@ -779,6 +797,56 @@ cand AS (
   WHERE q.id < 8 AND q.id <> c.id
 )"""
     return _ann_rerank_sql(cand_cte, k=5)
+
+
+def _cosine_pairs_oracle_sql() -> str:
+    """Oracle for cosine_near_dups: independent SRP signature recompute →
+    the operator's exact banding ((sig >> band·8) & 0xFF — arithmetic
+    shift + mask ≡ Spark's shiftrightunsigned + mask, sign-extension bits
+    land above the mask) → both-sides bucket cap → DISTINCT candidate
+    pairs → exact cosine rerank + threshold."""
+    import numpy as np
+
+    from fast_langdetect_spark.operators.similarity import srp_signatures_np
+
+    n_bits, n_bands, seed, cap, thr = 64, 8, 7, 1000, 0.35
+    band_bits = n_bits // n_bands
+    bmask = (1 << band_bits) - 1
+    rows = _oracle_embeddings()
+    mat = np.asarray([v for _, v in rows], dtype=np.float32)
+    sigs = srp_signatures_np(mat, n_bits, seed)
+    vals = ",\n".join(
+        f"(CAST({vid} AS BIGINT), CAST({int(sig)} AS BIGINT))"
+        if i == 0
+        else f"({vid}, {int(sig)})"
+        for i, ((vid, _), sig) in enumerate(zip(rows, sigs))
+    )
+    return f"""
+WITH sigs(id, sig) AS (VALUES {vals}),
+bands AS (
+  SELECT id, band, (sig >> (band * {band_bits})) & {bmask} AS bval
+  FROM sigs, range(0, {n_bands}) t(band)
+),
+ok_buckets AS (
+  SELECT band, bval FROM bands GROUP BY band, bval HAVING COUNT(*) <= {cap}
+),
+ckept AS (SELECT bands.* FROM bands JOIN ok_buckets USING (band, bval)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM ckept a JOIN ckept b USING (band, bval)
+  WHERE a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE)
+           AS cosine
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.id_a
+  JOIN embeddings eb ON eb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, round(cosine, 4) AS cosine_r
+FROM scored WHERE cosine >= {thr}
+"""
 
 
 def _ivf_oracle_sql() -> str:
@@ -1221,6 +1289,7 @@ def _signature_cte_oracles() -> dict[str, str]:
         ("stream_near_dedup", _stream_near_oracle_sql),
         ("simhash_near_dups", _simhash_oracle_sql),
         ("srp_ann", _srp_oracle_sql),
+        ("cosine_near_dups", _cosine_pairs_oracle_sql),
         ("ivf_ann", _ivf_oracle_sql),
         ("langid_top1", _langid_oracle_sql),
         ("multimodal_features", _multimodal_oracle_sql),
