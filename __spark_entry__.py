@@ -550,6 +550,129 @@ def _q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup (operators/similarity.py
+    semantic_dedup): k-means cells + within-cell min-id-survives prune.
+    The dup flag is derived from the 4dp-ROUNDED max-prior cosine in BOTH
+    engines so float32-vs-float64 cosine tails cannot flip it.  Oracle:
+    cell assignment precomputed (shared pure fn) + the whole cap/pair/
+    rollup chain in SQL."""
+    from fast_langdetect_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(
+        emb, threshold=0.4, n_clusters=8, max_cell_size=200, seed=11
+    )
+    r = F.round("max_prior_cosine", 4)
+    return out.select(
+        "vec_id", "cell", r.alias("max_prior_r"),
+        (r >= 0.4).alias("is_semantic_dup"),
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing (operators/sampling.py
+    pack_sequences): the training-loader manifest mapping docs into fixed
+    context-length sequences, docs spanning cuts.  n_chars stands in for
+    the token count (the real pipeline feeds textstats n_tokens)."""
+    from fast_langdetect_spark.operators.sampling import pack_sequences
+
+    out = pack_sequences(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        tokens_col="n_chars", part_col="source", order_col="doc_id",
+        context_len=500,
+    )
+    return out.select(
+        "doc_id", "seq_id", "seq_idx", "doc_offset", "seq_offset", "n_slice"
+    )
+
+
+def _q_incr_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/dedup.py incremental_exact_flags):
+    today's batch (doc_id >= 250) against the accumulated history
+    (doc_id < 250 plus every doc_id % 11 == 0 — a re-ingest overlap, so the
+    flag path is actually exercised: the corpus has no native exact dups) —
+    sha equi-join, history collapsed to distinct shas map-side before the
+    join."""
+    from fast_langdetect_spark.operators.dedup import incremental_exact_flags
+
+    docs = _docs(spark, sf_dir)
+    hist = docs.where((F.col("doc_id") < 250) | (F.col("doc_id") % 11 == 0))
+    return incremental_exact_flags(docs.where(F.col("doc_id") >= 250), hist)
+
+
+def _q_incr_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup flags: banded-LSH A-vs-B join of the new batch
+    against history (no self-join).  Oracle: independent signature
+    recompute + raw-slice banding (collision-free twin of xxhash64
+    bucketing, same equivalence as minhash_near_dups)."""
+    from fast_langdetect_spark.operators.dedup import incremental_minhash_flags
+
+    docs = _docs(spark, sf_dir)
+    out = incremental_minhash_flags(
+        docs.where(F.col("doc_id") >= 250),
+        docs.where(F.col("doc_id") < 250),
+        threshold=0.5, n_perm=64, n_bands=16,
+    )
+    return out.select(
+        "doc_id", "n_hist_matches",
+        F.round("best_est_jaccard", 6).alias("best_est_r"), "is_near_known",
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): word-8-gram hash
+    overlap against a benchmark set — GPT-3-appendix-C recipe, Spark-first
+    (map-side gram generation, broadcast benchmark join; the corpus never
+    shuffles).  Benchmark = docs with doc_id % 7 == 3 standing in for an
+    eval set (deterministic, no external data): those docs self-hit, and
+    the synth corpus's near-copies cross-hit — both paths exercised."""
+    from fast_langdetect_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = benchmark_ngrams(docs.where(F.col("doc_id") % 7 == 3), n=8)
+    return decontaminate(docs, bench, n=8)
+
+
+def _q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed domain mixture weights (operators/mixture.py,
+    XLM-R alpha=0.3 recipe) over the lang column, char-weighted.  Floats
+    rounded 6dp on both sides (pow() last-ulp divergence across engines)."""
+    from fast_langdetect_spark.operators.mixture import domain_mixture_weights
+
+    w = domain_mixture_weights(
+        _docs(spark, sf_dir), domain_col="lang", size_col="n_chars", alpha=0.3
+    )
+    return w.select(
+        "domain",
+        "n_docs",
+        "n_units",
+        F.round("p", 6).alias("p_r"),
+        F.round("weight", 6).alias("weight_r"),
+        F.round("rate", 6).alias("rate_r"),
+    )
+
+
+def _q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-realizing downsample: keep iff sha256-derived
+    u(doc_id) < rate(lang).  Broadcast rate join + pure map (oracle-checked
+    keep flags; u is exact in a double so no float divergence)."""
+    from fast_langdetect_spark.operators.mixture import (
+        domain_mixture_weights,
+        mixture_resample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = domain_mixture_weights(
+        docs, domain_col="lang", size_col="n_chars", alpha=0.3
+    )
+    out = mixture_resample(docs, w, domain_col="lang", seed=42)
+    return out.select("doc_id", F.round("u", 9).alias("u_r"), "keep")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "langid_top1": _q_langid_top1,
@@ -581,6 +704,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": _q_curation,
         "stream_dedup": _q_stream_dedup,
         "stream_near_dedup": _q_stream_near_dedup,
+        "semantic_dedup": _q_semantic_dedup,
+        "pack_sequences": _q_pack_sequences,
+        "incr_exact_dups": _q_incr_exact_dups,
+        "incr_near_dups": _q_incr_near_dups,
+        "decontaminate": _q_decontaminate,
+        "domain_mixture": _q_domain_mixture,
+        "mixture_resample": _q_mixture_resample,
     }
 
 
@@ -704,6 +834,65 @@ owners AS (
 SELECT b.id AS doc_id, bool_and(o.owner = b.id) AS kept
 FROM bands b JOIN owners o USING (band, bslice)
 GROUP BY b.id
+"""
+
+
+def _incr_near_oracle_sql() -> str:
+    """Oracle for incr_near_dups: independent signature recompute, raw-slice
+    banding on both sides (collision-free twin of xxhash64 bucketing),
+    history-side bucket cap, positional signature-Jaccard, per-new-doc
+    rollup with zero-fill — the whole incremental_minhash_flags chain in
+    SQL."""
+    from fast_langdetect_spark.operators.dedup import (
+        _perm_params,
+        minhash_signatures_np,
+    )
+
+    n_perm, n_bands, shingle_k, seed = 64, 16, 5, 42
+    threshold, max_bucket = 0.5, 200
+    rpb = n_perm // n_bands
+    docs = _oracle_docs(10**9)
+    a, b = _perm_params(n_perm, seed)
+    sigs = minhash_signatures_np([t or "" for _, t in docs], a, b, shingle_k)
+    vals = ",\n".join(
+        f"(CAST({doc_id} AS BIGINT), CAST([{','.join(map(str, sig))}] AS BIGINT[]))"
+        if i == 0
+        else f"({doc_id}, [{','.join(map(str, sig))}])"
+        for i, ((doc_id, _), sig) in enumerate(zip(docs, sigs))
+    )
+    return f"""
+WITH sigs(id, sig) AS (VALUES {vals}),
+bands AS (
+  SELECT id, sig, band, sig[band*{rpb}+1 : band*{rpb}+{rpb}] AS bslice
+  FROM sigs, range(0, {n_bands}) t(band)
+),
+hist AS (SELECT * FROM bands WHERE id < 250),
+newb AS (SELECT * FROM bands WHERE id >= 250),
+hist_ok AS (
+  SELECT band, bslice FROM hist GROUP BY band, bslice
+  HAVING COUNT(*) <= {max_bucket}
+),
+hist_c AS (SELECT hist.* FROM hist JOIN hist_ok USING (band, bslice)),
+matches AS (
+  SELECT DISTINCT n.id AS new_id, h.id AS hist_id, n.sig AS sig_n, h.sig AS sig_h
+  FROM newb n JOIN hist_c h USING (band, bslice)
+),
+scored AS (
+  SELECT new_id, hist_id,
+         len(list_filter(generate_series(1, {n_perm}), i -> sig_n[i] = sig_h[i]))
+           / {float(n_perm)!r} AS est_jaccard
+  FROM matches
+),
+hits AS (
+  SELECT new_id, COUNT(*) AS n_hist_matches, MAX(est_jaccard) AS best_est
+  FROM scored WHERE est_jaccard >= {threshold!r} GROUP BY new_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hist_matches, 0) AS n_hist_matches,
+       round(COALESCE(h.best_est, 0.0), 6) AS best_est_r,
+       COALESCE(h.n_hist_matches, 0) > 0 AS is_near_known
+FROM documents d LEFT JOIN hits h ON h.new_id = d.doc_id
+WHERE d.doc_id >= 250
 """
 
 
@@ -889,6 +1078,50 @@ cand AS (
   SELECT q_id, c_id FROM probes JOIN cells USING (cell) WHERE c_id <> q_id
 )"""
     return _ann_rerank_sql(cand_cte, k=5)
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """Oracle for semantic_dedup: cell assignment precomputed with the
+    SHARED pure fns (hash-ranked training sample → spherical k-means →
+    nearest-centroid cells), inlined as a VALUES CTE; the cap, within-cell
+    smaller-id pairwise max-cosine, zero-fill, and ROUNDED-value dup flag
+    all re-derived in SQL."""
+    import numpy as np
+
+    from fast_langdetect_spark.operators.similarity import (
+        _spherical_kmeans,
+        hash_sample_order,
+        ivf_cells_np,
+    )
+
+    n_clusters, seed, max_cell, threshold = 8, 11, 200, 0.4
+    rows = _oracle_embeddings()
+    mat = np.asarray([v for _, v in rows], dtype=np.float32)
+    ids = [vid for vid, _ in rows]
+    order = hash_sample_order(ids)[:10_000]
+    cent = _spherical_kmeans(mat[order], n_clusters, seed=seed)
+    cells = ivf_cells_np(mat, cent)
+    cell_vals = ",\n".join(
+        f"(CAST({vid} AS BIGINT), CAST({int(c)} AS INT))" if i == 0
+        else f"({vid}, {int(c)})"
+        for i, (vid, c) in enumerate(zip(ids, cells))
+    )
+    return f"""
+WITH cells(id, cell) AS (VALUES {cell_vals}),
+ok_cells AS (SELECT cell FROM cells GROUP BY cell HAVING COUNT(*) <= {max_cell}),
+in_cap AS (SELECT cells.* FROM cells JOIN ok_cells USING (cell)),
+prior AS (
+  SELECT a.id, MAX(list_cosine_similarity(ea.embedding, eb.embedding)) AS mx
+  FROM in_cap a JOIN in_cap b ON a.cell = b.cell AND b.id < a.id
+  JOIN embeddings ea ON ea.vec_id = a.id
+  JOIN embeddings eb ON eb.vec_id = b.id
+  GROUP BY a.id
+)
+SELECT c.id AS vec_id, c.cell,
+       round(CAST(COALESCE(p.mx, 0.0) AS DOUBLE), 4) AS max_prior_r,
+       round(CAST(COALESCE(p.mx, 0.0) AS DOUBLE), 4) >= {threshold!r} AS is_semantic_dup
+FROM cells c LEFT JOIN prior p ON p.id = c.id
+"""
 
 
 def _langid_oracle_sql() -> str:
@@ -1274,9 +1507,55 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": (
             "SELECT DISTINCT sha256(text) AS content_sha256 FROM documents"
         ),
+        "pack_sequences": _pack_sequences_sql(),
+        "incr_exact_dups": (
+            "SELECT n.doc_id, sha256(n.text) AS content_sha256, "
+            "EXISTS (SELECT 1 FROM documents h "
+            "WHERE (h.doc_id < 250 OR h.doc_id % 11 = 0) "
+            "AND sha256(h.text) = sha256(n.text)) AS is_known_dup "
+            "FROM documents n WHERE n.doc_id >= 250"
+        ),
+        "decontaminate": _decontam_sql(),
+        "domain_mixture": _mixture_sql(),
+        "mixture_resample": _resample_sql(),
     }
     base.update(_signature_cte_oracles())
     return base
+
+
+def _pack_sequences_sql() -> str:
+    from fast_langdetect_spark.operators.sampling import duckdb_pack_sequences_sql
+
+    return duckdb_pack_sequences_sql(
+        "documents", tokens_col="n_chars", part_col="source",
+        order_col="doc_id", context_len=500,
+    )
+
+
+def _decontam_sql() -> str:
+    from fast_langdetect_spark.operators.decontam import duckdb_decontaminate_sql
+
+    return duckdb_decontaminate_sql(
+        "documents",
+        "SELECT * FROM documents WHERE doc_id % 7 = 3",
+        n=8,
+    )
+
+
+def _mixture_sql() -> str:
+    from fast_langdetect_spark.operators.mixture import duckdb_mixture_sql
+
+    return duckdb_mixture_sql(
+        "documents", domain_col="lang", size_col="n_chars", alpha=0.3
+    )
+
+
+def _resample_sql() -> str:
+    from fast_langdetect_spark.operators.mixture import duckdb_resample_sql
+
+    return duckdb_resample_sql(
+        "documents", domain_col="lang", size_col="n_chars", alpha=0.3, seed=42
+    )
 
 
 def _signature_cte_oracles() -> dict[str, str]:
@@ -1287,10 +1566,12 @@ def _signature_cte_oracles() -> dict[str, str]:
     for name, builder in (
         ("minhash_near_dups", _minhash_oracle_sql),
         ("stream_near_dedup", _stream_near_oracle_sql),
+        ("incr_near_dups", _incr_near_oracle_sql),
         ("simhash_near_dups", _simhash_oracle_sql),
         ("srp_ann", _srp_oracle_sql),
         ("cosine_near_dups", _cosine_pairs_oracle_sql),
         ("ivf_ann", _ivf_oracle_sql),
+        ("semantic_dedup", _semantic_dedup_oracle_sql),
         ("langid_top1", _langid_oracle_sql),
         ("multimodal_features", _multimodal_oracle_sql),
         ("split_by_language", _split_lang_oracle_sql),

@@ -1,0 +1,188 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark set.
+
+Public recipe (GPT-3 appendix C, The Pile, OLMo decontamination): tokenize
+both corpora, form n-gram keys, and mark a training document contaminated
+when at least ``min_overlap`` distinct n-grams also occur in the benchmark
+set.  No counterpart exists in /root/reference (a langid library); this is
+part of the LLM-training-pipeline extension surface (SURVEY §2 extras).
+
+Spark-first shape, and why it holds at 100 TB:
+
+  * The corpus NEVER shuffles on its own size.  Doc n-grams are generated
+    map-side with native Catalyst array functions (split → slice → sha2) —
+    no explode of the corpus is ever shuffled.
+  * The benchmark n-gram set is tiny relative to the corpus (benchmarks are
+    MBs; corpora are TBs), so the hit-detection join is an explicit
+    ``broadcast()`` hash join: corpus partitions stream past an in-memory
+    hash set.  If a pathological benchmark outgrows broadcast, drop the
+    hint and the same plan degrades to a shuffle equi-join on the 16-hex
+    gram key (uniform by construction — sha2 output — so never skewed).
+  * Only HITS are aggregated: the inner join emits one row per (doc,
+    benchmark-gram) match, typically a vanishing fraction of the corpus.
+    The groupBy and the join back onto the corpus are sized by the hit set;
+    AQE picks a broadcast join back when hits are small (the common case).
+
+Tokenization is the repo-wide dialect: lowercase, explicit ASCII class
+``[ \\t\\r\\n\\f]+`` split (Java/RE2/DuckDB-portable — see
+operators/regex_compat.py), empty tokens dropped.  Gram keys are the first
+16 hex chars of sha256 of the space-joined gram — identical in Spark and
+DuckDB, and 64 bits is plenty against birthday collisions at benchmark
+scale (the benchmark side is the small one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[ \t\r\n\f]+"
+KEY_HEX_LEN = 16
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Lowercased non-empty tokens, repo-standard ASCII-whitespace split."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+        lambda x: x != F.lit(""),
+    )
+
+
+def ngram_keys_col(text_col: str = "text", n: int = 8) -> Column:
+    """Distinct 16-hex sha256 keys of all word ``n``-grams of ``text_col``.
+
+    Pure map-side Catalyst: split → sequence → slice → array_join → sha2.
+    Docs with fewer than ``n`` tokens yield an empty array (F.sequence
+    would count DOWN for stop < start, hence the explicit guard)."""
+    toks = tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.substring(
+                F.sha2(F.array_join(F.slice(toks, i, n), " "), 256),
+                1,
+                KEY_HEX_LEN,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def benchmark_ngrams(
+    bench_df: DataFrame, *, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct n-gram keys of the benchmark set: one ``gram_key`` column.
+
+    The distinct() here is a shuffle of the BENCHMARK only (small side)."""
+    return (
+        bench_df.select(F.explode(ngram_keys_col(text_col, n)).alias("gram_key"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-document contamination flags against a benchmark n-gram set.
+
+    Returns ``(id_col, n_hit_ngrams, contaminated)`` for every input doc:
+    ``n_hit_ngrams`` = number of DISTINCT doc n-grams present in
+    ``bench_grams`` (a ``gram_key`` DataFrame from :func:`benchmark_ngrams`),
+    ``contaminated`` = n_hit_ngrams >= min_overlap.
+
+    Plan shape (see module docstring): map-side gram generation → explode →
+    broadcast inner join with the benchmark set → groupBy on the hit rows
+    only → left join back (AQE-broadcastable)."""
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(ngram_keys_col(text_col, n)).alias("gram_key")
+    )
+    bench = F.broadcast(bench_grams) if broadcast_bench else bench_grams
+    hits = (
+        doc_grams.join(bench, "gram_key")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hit_ngrams"), F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce(F.col("n_hit_ngrams"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------- DuckDB twin
+
+
+def duckdb_ngram_keys_cte(
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    cte_name: str = "doc_grams",
+) -> str:
+    """CTE body producing (id, gram_key) — distinct per doc — the DuckDB
+    twin of ngram_keys_col + explode.  Same lowercase/ASCII-split/sha2-16
+    dialect; docs with < n tokens contribute no rows."""
+    return f"""{cte_name} AS (
+  SELECT id, unnest(list_distinct(grams)) AS gram_key FROM (
+    SELECT {id_col} AS id,
+           list_transform(
+             generate_series(1, len(toks) - {n} + 1),
+             i -> substr(sha256(array_to_string(toks[i:i+{n}-1], ' ')), 1, {KEY_HEX_LEN})
+           ) AS grams
+    FROM (
+      SELECT {id_col},
+             list_filter(regexp_split_to_array(lower({text_col}), '[ \t\r\n\f]+'),
+                         x -> x <> '') AS toks
+      FROM {table}
+    )
+    WHERE len(toks) >= {n}
+  )
+)"""
+
+
+def duckdb_decontaminate_sql(
+    docs_table: str = "documents",
+    bench_sql: str = "SELECT * FROM documents WHERE doc_id % 7 = 3",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> str:
+    """Full DuckDB twin of benchmark_ngrams + decontaminate."""
+    doc_cte = duckdb_ngram_keys_cte(
+        docs_table, id_col=id_col, text_col=text_col, n=n, cte_name="doc_grams"
+    )
+    bench_cte = duckdb_ngram_keys_cte(
+        "bench_docs", id_col=id_col, text_col=text_col, n=n, cte_name="bench_grams_all"
+    )
+    return f"""
+WITH bench_docs AS ({bench_sql}),
+{doc_cte},
+{bench_cte},
+bench_grams AS (SELECT DISTINCT gram_key FROM bench_grams_all),
+hits AS (
+  SELECT id, COUNT(*) AS n_hit_ngrams
+  FROM doc_grams JOIN bench_grams USING (gram_key)
+  GROUP BY id
+)
+SELECT d.{id_col} AS {id_col},
+       COALESCE(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+       COALESCE(h.n_hit_ngrams, 0) >= {min_overlap} AS contaminated
+FROM {docs_table} d LEFT JOIN hits h ON h.id = d.{id_col}
+"""

@@ -512,3 +512,147 @@ def simhash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------- incremental (corpus-vs-history)
+
+
+def incremental_exact_flags(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag NEW documents whose content already exists in a HISTORY corpus
+    (the A-vs-B ingest shape: today's crawl against everything ingested so
+    far).  Returns (id, content_sha256, is_known_dup) for every new doc.
+
+    Scale shape: the history side collapses to DISTINCT shas with map-side
+    partial aggregation before the join; the equi-join key is sha256 —
+    uniform by construction, so never skewed, and AQE-splittable.  At
+    deployment the history sha set is a persisted table bucketed by
+    content_sha256, so only the new batch (the small side, relative to an
+    accumulated history) shuffles — pass that table here directly with a
+    ``content_sha256`` column and ``text_col=None``."""
+    new_sha = new_df.select(
+        F.col(id_col).alias("id"),
+        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+    )
+    if text_col is not None and text_col in history_df.columns:
+        hist = history_df.select(F.sha2(F.col(text_col), 256).alias("content_sha256"))
+    else:
+        hist = history_df.select("content_sha256")
+    hist = hist.distinct().withColumn("__known", F.lit(True))
+    return (
+        new_sha.join(hist, "content_sha256", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "content_sha256",
+            F.coalesce(F.col("__known"), F.lit(False)).alias("is_known_dup"),
+        )
+    )
+
+
+def incremental_minhash_flags(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+    seed: int = 42,
+    stats_out: Optional[dict] = None,
+) -> DataFrame:
+    """Flag NEW documents that are NEAR-duplicates of any HISTORY document
+    (banded-LSH A-vs-B join, no self-join).  Returns
+    (id, n_hist_matches, best_est_jaccard, is_near_known) per new doc.
+
+    Scale shape: both sides band on (band, bhash) — the same key family as
+    minhash_lsh_pairs, so at deployment the history's band table is a
+    persisted artifact (minhash_bands output), amortized across ingests
+    instead of recomputed; this function recomputes it only when handed raw
+    text.  The bucket cap is applied to the HISTORY side (boilerplate
+    mega-buckets; exact incremental dedup owns those) and drops are
+    reported, never silent.  The pair set never materializes beyond
+    (new-band × capped-history-bucket) matches, and the final flags join
+    back is AQE-broadcastable (matches ≪ batch)."""
+    bands_new = minhash_bands(
+        new_df, id_col, text_col,
+        n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k, seed=seed,
+    )
+    band_cols = {"id", "sig", "band", "bhash"}
+    if band_cols.issubset(set(history_df.columns)):
+        bands_hist = history_df.select("id", "sig", "band", "bhash")
+    else:
+        bands_hist = minhash_bands(
+            history_df, id_col, text_col,
+            n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k, seed=seed,
+        )
+    sizes = bands_hist.groupBy("band", "bhash").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    dropped = (
+        sizes.where(F.col("bsz") > max_bucket_size)
+        .agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum("bsz"), F.lit(0)).alias("rows"),
+        )
+        .collect()[0]
+    )
+    if dropped["buckets"]:
+        _LOG.warning(
+            "incremental_minhash_flags: dropped %d history mega-buckets "
+            "(%d member rows) over max_bucket_size=%d",
+            dropped["buckets"], dropped["rows"], max_bucket_size,
+        )
+    if stats_out is not None:
+        stats_out["dropped_buckets"] = dropped["buckets"]
+        stats_out["dropped_bucket_rows"] = dropped["rows"]
+    bands_hist = bands_hist.join(
+        sizes.where(F.col("bsz") <= max_bucket_size), ["band", "bhash"]
+    )
+    matches = (
+        bands_new.alias("n")
+        .join(bands_hist.alias("h"), ["band", "bhash"])
+        .select(
+            F.col("n.id").alias("new_id"),
+            F.col("h.id").alias("hist_id"),
+            F.col("n.sig").alias("sig_n"),
+            F.col("h.sig").alias("sig_h"),
+        )
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_n", "sig_h", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(n_perm))
+    hits = (
+        matches.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hist_matches"),
+            F.max("est_jaccard").alias("best_est_jaccard"),
+        )
+    )
+    return (
+        new_df.select(F.col(id_col).alias("new_id"))
+        .join(hits, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.coalesce(F.col("n_hist_matches"), F.lit(0)).alias("n_hist_matches"),
+            F.coalesce(F.col("best_est_jaccard"), F.lit(0.0)).alias(
+                "best_est_jaccard"
+            ),
+            (F.coalesce(F.col("n_hist_matches"), F.lit(0)) > 0).alias(
+                "is_near_known"
+            ),
+        )
+    )

@@ -1,0 +1,171 @@
+"""Domain-mixture weighting and deterministic temperature resampling.
+
+Public recipe (XLM-R / mT5 / GPT-3 data-mixing: sample domain d with
+probability proportional to p_d^alpha, alpha in (0,1], so low-resource
+domains are up-weighted relative to their natural share):
+
+  * domain_mixture_weights — per-domain natural share p, smoothed weight
+    w = p^alpha / sum(p^alpha), and the downsampling rate that realizes the
+    w-mixture WITHOUT upsampling (rate_d = (w_d/p_d) / max(w/p): the most
+    up-weighted domain keeps everything; every other domain is thinned).
+  * mixture_resample — deterministic content/id-hash Bernoulli keep flag at
+    those rates: keep iff u(doc) < rate_domain, with u derived from sha256
+    so the decision is reproducible across engines, runs, and reshuffles.
+
+No counterpart in /root/reference (a langid library); LLM-pipeline
+extension surface (SURVEY §2 extras).
+
+Scale shape: the weights aggregation is one map-side-partial groupBy on the
+domain key — output is |domains| rows (tiny).  The resample is a broadcast
+join of that tiny rate table onto the corpus plus a pure-map hash compare:
+the corpus itself never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# u(doc) = first 8 sha256 hex chars as a 32-bit uniform in [0, 1).
+_U_DENOM = float(1 << 32)
+
+
+def _u_col(key, seed: int):
+    """Deterministic uniform [0,1) from sha256(key ':' seed) — exact in a
+    double (32 bits), identical in Spark and DuckDB."""
+    h = F.substring(F.sha2(F.concat_ws(":", key.cast("string"), F.lit(str(seed))), 256), 1, 8)
+    return F.conv(h, 16, 10).cast("double") / F.lit(_U_DENOM)
+
+
+def duckdb_u_sql(key_expr: str, seed: int) -> str:
+    """DuckDB twin of _u_col (hex-literal cast, same sha256 prefix)."""
+    return (
+        f"(('0x' || substr(sha256(CAST({key_expr} AS VARCHAR) || ':{seed}'), 1, 8))::UBIGINT"
+        f" / {_U_DENOM!r})"
+    )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    *,
+    domain_col: str = "source",
+    size_col: str | None = None,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-domain mixture table: (domain, n_docs, n_units, p, weight, rate).
+
+    ``n_units`` is sum(size_col) (tokens/chars) or the doc count when
+    ``size_col`` is None; p = n_units / total; weight = p^alpha normalized;
+    rate = (weight/p) / max(weight/p) — the no-upsampling realization.
+
+    One groupBy on the domain key (map-side partial, |domains| output rows);
+    the two normalizations are broadcast scalar joins over that tiny table."""
+    units = F.sum(size_col) if size_col else F.count(F.lit(1))
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        units.cast("double").alias("n_units"),
+    )
+    tot = per.agg(F.sum("n_units").alias("__total"))
+    with_p = per.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n_units") / F.col("__total")
+    )
+    with_pa = with_p.withColumn("__pa", F.pow("p", F.lit(float(alpha))))
+    norm = with_pa.agg(
+        F.sum("__pa").alias("__pa_sum"),
+    )
+    with_w = (
+        with_pa.crossJoin(F.broadcast(norm))
+        .withColumn("weight", F.col("__pa") / F.col("__pa_sum"))
+        .withColumn("__ratio", F.col("weight") / F.col("p"))
+    )
+    rmax = with_w.agg(F.max("__ratio").alias("__rmax"))
+    return (
+        with_w.crossJoin(F.broadcast(rmax))
+        .withColumn("rate", F.col("__ratio") / F.col("__rmax"))
+        .select("domain", "n_docs", "n_units", "p", "weight", "rate")
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic keep flag realizing the mixture rates: keep iff
+    u(id, seed) < rate(domain).  Broadcast join (tiny rate table) + pure
+    map — the corpus never shuffles."""
+    rates = F.broadcast(weights.select("domain", "rate"))
+    joined = df.join(rates, df[domain_col] == rates["domain"], "left")
+    u = _u_col(F.col(id_col), seed)
+    return joined.select(
+        *[df[c] for c in df.columns],
+        u.alias("u"),
+        (u < F.coalesce(F.col("rate"), F.lit(0.0))).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------- DuckDB twin
+
+
+def duckdb_mixture_sql(
+    table: str = "documents",
+    *,
+    domain_col: str = "source",
+    size_col: str | None = None,
+    alpha: float = 0.3,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of domain_mixture_weights, floats rounded to ``round_dp``
+    (pow() may differ in the last ulp across engines)."""
+    units = f"SUM({size_col})" if size_col else "COUNT(*)"
+    return f"""
+WITH per AS (
+  SELECT {domain_col} AS domain, COUNT(*) AS n_docs,
+         CAST({units} AS DOUBLE) AS n_units
+  FROM {table} GROUP BY 1
+), with_p AS (
+  SELECT *, n_units / SUM(n_units) OVER () AS p FROM per
+), with_w AS (
+  SELECT *, pow(p, {alpha!r}) / SUM(pow(p, {alpha!r})) OVER () AS weight
+  FROM with_p
+)
+SELECT domain, n_docs, n_units,
+       round(p, {round_dp}) AS p_r,
+       round(weight, {round_dp}) AS weight_r,
+       round((weight / p) / MAX(weight / p) OVER (), {round_dp}) AS rate_r
+FROM with_w
+"""
+
+
+def duckdb_resample_sql(
+    table: str = "documents",
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str | None = None,
+    alpha: float = 0.3,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of mixture_resample over duckdb_mixture_sql rates."""
+    units = f"SUM({size_col})" if size_col else "COUNT(*)"
+    u = duckdb_u_sql(f"d.{id_col}", seed)
+    return f"""
+WITH per AS (
+  SELECT {domain_col} AS domain, CAST({units} AS DOUBLE) AS n_units
+  FROM {table} GROUP BY 1
+), with_p AS (
+  SELECT *, n_units / SUM(n_units) OVER () AS p FROM per
+), with_w AS (
+  SELECT *, pow(p, {alpha!r}) / SUM(pow(p, {alpha!r})) OVER () AS weight
+  FROM with_p
+), rates AS (
+  SELECT domain, (weight / p) / MAX(weight / p) OVER () AS rate FROM with_w
+)
+SELECT d.{id_col} AS {id_col},
+       round({u}, 9) AS u_r,
+       {u} < COALESCE(r.rate, 0.0) AS keep
+FROM {table} d LEFT JOIN rates r ON r.domain = d.{domain_col}
+"""

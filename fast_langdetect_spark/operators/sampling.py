@@ -129,3 +129,101 @@ def duckdb_content_split_sql(
         f"WHEN substr(sha256({text_col}), 1, 1) IN ({t}) THEN 'test' "
         f"ELSE 'train' END"
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    tokens_col: str = "n_tokens",
+    part_col: str | Sequence[str] = "source",
+    order_col: str | Sequence[str] = "doc_id",
+    context_len: int = 2048,
+) -> DataFrame:
+    """Concat-and-cut sequence packing: the training-loader manifest that
+    maps documents into fixed ``context_len``-token training sequences (the
+    GPT-style pre-training layout: all docs in a bucket are conceptually
+    concatenated in ``order_col`` order and cut every ``context_len``
+    tokens, so a document may SPAN sequences).
+
+    Emits one row per (document × spanned sequence):
+      seq_id     — "<part>/<seq_idx>"
+      seq_idx    — sequence index within the bucket
+      doc_offset — first token of this slice within the document
+      seq_offset — where the slice starts inside the sequence
+      n_slice    — tokens contributed by this slice
+
+    Invariants (property-tested): every sequence except a bucket's last
+    holds exactly ``context_len`` tokens with no gaps; per-doc slices
+    partition the document.
+
+    Scale shape: one window cumsum per ``part_col`` bucket (buckets pack
+    independently in parallel — same shape as pack_shards), then a pure
+    map-side posexplode over the spanned range (≤ 1 + n_tokens/context_len
+    rows per doc).  No global sort, no shuffle beyond the bucket window."""
+    part_cols = [part_col] if isinstance(part_col, str) else list(part_col)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    L = int(context_len)
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    preceding = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    n = F.col(tokens_col).cast("long")
+    staged = (
+        df.withColumn("__prec", preceding)
+        .where(n > 0)
+        .withColumn("__first_seq", F.expr(f"__prec DIV {L}"))
+        .withColumn("__last_seq", F.expr(f"(__prec + {tokens_col} - 1) DIV {L}"))
+    )
+    seq = F.col("__seq")
+    slice_start = F.greatest(F.col("__prec"), seq * L)
+    slice_end = F.least(F.col("__prec") + n, (seq + 1) * L)
+    return (
+        staged.withColumn(
+            "__seq", F.explode(F.sequence(F.col("__first_seq"), F.col("__last_seq")))
+        )
+        .select(
+            *df.columns,
+            F.concat_ws(
+                "/", *[F.col(c) for c in part_cols], seq.cast("string")
+            ).alias("seq_id"),
+            seq.alias("seq_idx"),
+            (slice_start - F.col("__prec")).alias("doc_offset"),
+            (slice_start - seq * L).alias("seq_offset"),
+            (slice_end - slice_start).alias("n_slice"),
+        )
+    )
+
+
+def duckdb_pack_sequences_sql(
+    table: str = "documents",
+    *,
+    tokens_col: str = "n_chars",
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    context_len: int = 2048,
+    id_cols: str = "doc_id",
+) -> str:
+    """DuckDB twin of pack_sequences (window cumsum + generate_series)."""
+    L = int(context_len)
+    return f"""
+WITH staged AS (
+  SELECT {id_cols}, {part_col} AS part, CAST({tokens_col} AS BIGINT) AS n,
+         COALESCE(SUM({tokens_col}) OVER (
+           PARTITION BY {part_col} ORDER BY {order_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prec
+  FROM {table} WHERE {tokens_col} > 0
+), exploded AS (
+  SELECT *, unnest(generate_series(
+           CAST(prec // {L} AS BIGINT), CAST((prec + n - 1) // {L} AS BIGINT))) AS seq
+  FROM staged
+)
+SELECT {id_cols},
+       part || '/' || CAST(seq AS VARCHAR) AS seq_id,
+       seq AS seq_idx,
+       GREATEST(prec, seq * {L}) - prec AS doc_offset,
+       GREATEST(prec, seq * {L}) - seq * {L} AS seq_offset,
+       LEAST(prec + n, (seq + 1) * {L}) - GREATEST(prec, seq * {L}) AS n_slice
+FROM exploded
+"""

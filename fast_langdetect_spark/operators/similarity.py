@@ -286,6 +286,41 @@ def ivf_probes_np(mat: np.ndarray, centroids: np.ndarray, n_probe: int) -> np.nd
     return np.argsort(-sims, axis=1)[:, :n_probe]
 
 
+def train_coarse_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    train_sample: int = 10_000,
+    seed: int = 11,
+    sample_strategy: str = "hash",
+) -> np.ndarray:
+    """Deterministic coarse-quantizer training shared by ivf_topk and
+    semantic_dedup: bounded hash-ranked sample to the driver (orderBy
+    before limit — a bare limit takes whatever partitions answer first),
+    spherical k-means on it.  The DEFAULT rank key is sha256(id) —
+    content-addressed, deterministic, uniform over the corpus regardless
+    of id layout (VERDICT r03 #1); "prefix" (raw-id rank) is retained only
+    for the recall-regression comparison test."""
+    if sample_strategy == "hash":
+        rank = [F.sha2(F.col(id_col).cast("string"), 256), F.col(id_col)]
+    elif sample_strategy == "prefix":
+        rank = [F.col(id_col)]
+    else:
+        raise ValueError(f"unknown sample_strategy: {sample_strategy!r}")
+    sample_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(*rank)
+        .limit(train_sample)
+        .toPandas()[vec_col]
+        .tolist()
+    )
+    return _spherical_kmeans(
+        np.asarray(sample_rows, dtype=np.float32), n_clusters, seed=seed
+    )
+
+
 def ivf_assign_udf(centroids: np.ndarray):
     """vector → nearest-centroid id (one matmul per Arrow batch)."""
 
@@ -320,32 +355,9 @@ def ivf_topk(
     equi-join on cluster id — candidates ≈ |corpus|·n_probe/n_clusters per
     query instead of |corpus|.
     """
-    # orderBy before limit: a bare limit takes whatever partitions answer
-    # first, so the k-means training sample (hence centroids, hence cell
-    # assignments) would vary run-to-run.  The DEFAULT rank key is
-    # sha256(id) — content-addressed, deterministic, and uniform over the
-    # corpus regardless of id layout.  Ranking by raw id (the "prefix"
-    # strategy) is equally deterministic but takes the first train_sample
-    # ids, which at deployment scale are typically one repo/source: the
-    # centroids then mis-span the embedding space and probe recall decays
-    # silently (VERDICT r03 #1; regression demonstrated in
-    # tests/test_dedup_similarity.py::test_ivf_hash_sample_beats_prefix).
-    # "prefix" is retained only for that comparison.
-    if sample_strategy == "hash":
-        rank = [F.sha2(F.col(id_col).cast("string"), 256), F.col(id_col)]
-    elif sample_strategy == "prefix":
-        rank = [F.col(id_col)]
-    else:
-        raise ValueError(f"unknown sample_strategy: {sample_strategy!r}")
-    sample_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(*rank)
-        .limit(train_sample)
-        .toPandas()[vec_col]
-        .tolist()
-    )
-    cent = _spherical_kmeans(
-        np.asarray(sample_rows, dtype=np.float32), n_clusters, seed=seed
+    cent = train_coarse_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters,
+        train_sample=train_sample, seed=seed, sample_strategy=sample_strategy,
     )
     assign = ivf_assign_udf(cent)
     c = corpus.select(
@@ -490,4 +502,98 @@ def srp_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    train_sample: int = 10_000,
+    seed: int = 11,
+    max_cell_size: int = 10_000,
+    stats_out: Optional[dict] = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embeddings, then inside each cluster drop every
+    vector that has a SMALLER-id member with cosine >= threshold (min-id
+    survives — deterministic, no iterative component search needed: within
+    a near-dup group the smallest id keeps, everything else drops).
+
+    Returns (id, cell, max_prior_cosine, is_semantic_dup) for EVERY input
+    row; ``max_prior_cosine`` is the best cosine to any smaller-id cell
+    member (0.0 when none).
+
+    Scale shape: centroid training is one bounded driver-side sample
+    (shared train_coarse_centroids, hash-ranked => uniform); assignment is
+    a broadcast-closure pandas UDF (one matmul per Arrow batch); the
+    pairwise stage is an equi-join ON CELL — O(cell_size²) bounded by
+    ``max_cell_size``, never all-pairs.  Mega-cells (embedding-space
+    boilerplate: near-identical template docs) are dropped from the
+    pairwise stage and REPORTED via ``stats_out`` — exact/MinHash dedup
+    owns those clusters, exactly like the LSH bucket caps in dedup.py.
+    The flags join back is AQE-broadcastable (hits ≪ corpus)."""
+    cent = train_coarse_centroids(
+        df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters,
+        train_sample=train_sample, seed=seed,
+    )
+    assign = ivf_assign_udf(cent)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col)).alias("cell"),
+    )
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
+    dropped = (
+        sizes.where(F.col("csz") > max_cell_size)
+        .agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.coalesce(F.sum("csz"), F.lit(0)).alias("rows"),
+        )
+        .collect()[0]
+    )
+    if dropped["cells"]:
+        _LOG.warning(
+            "semantic_dedup: dropped %d mega-cells (%d member rows) over "
+            "max_cell_size=%d — near-identical clusters handled by exact/"
+            "minhash dedup",
+            dropped["cells"], dropped["rows"], max_cell_size,
+        )
+    if stats_out is not None:
+        stats_out["dropped_cells"] = dropped["cells"]
+        stats_out["dropped_cell_rows"] = dropped["rows"]
+    in_cap = assigned.join(
+        sizes.where(F.col("csz") <= max_cell_size).select("cell"), "cell"
+    )
+    prior = (
+        in_cap.alias("a")
+        .join(in_cap.alias("b"), "cell")
+        .where(F.col("b.id") < F.col("a.id"))
+        .select(
+            F.col("a.id").alias("id"),
+            _cosine("a.vec", "b.vec").alias("cosine"),
+        )
+        .groupBy("id")
+        .agg(F.max("cosine").alias("max_prior_cosine"))
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(prior, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.coalesce(F.col("max_prior_cosine"), F.lit(0.0)).alias(
+                "max_prior_cosine"
+            ),
+            (
+                F.coalesce(F.col("max_prior_cosine"), F.lit(0.0))
+                >= F.lit(float(threshold))
+            ).alias("is_semantic_dup"),
+        )
     )

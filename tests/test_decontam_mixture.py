@@ -1,0 +1,209 @@
+"""Benchmark decontamination + domain-mixture resampling operators."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark.operators.decontam import (
+    benchmark_ngrams,
+    decontaminate,
+    duckdb_decontaminate_sql,
+    ngram_keys_col,
+)
+from fast_langdetect_spark.operators.mixture import (
+    domain_mixture_weights,
+    duckdb_mixture_sql,
+    duckdb_resample_sql,
+    mixture_resample,
+)
+
+# ----------------------------------------------------------------- decontam
+
+
+def test_ngram_keys_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "only three tokens")], "doc_id int, text string")
+    row = df.select(ngram_keys_col("text", n=5).alias("g")).first()
+    assert row["g"] == []
+
+
+def test_decontaminate_flags_known_overlap(spark):
+    # doc 1 contains the benchmark 3-gram "the quick fox"; doc 2 doesn't.
+    docs = spark.createDataFrame(
+        [
+            (1, "intro the quick fox outro"),
+            (2, "a completely different sentence here"),
+            (3, "the quick fox"),  # exactly the benchmark text
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(99, "the quick fox")], "doc_id int, text string")
+    out = decontaminate(docs, benchmark_ngrams(bench, n=3), n=3).collect()
+    got = {r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"]) for r in out}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)
+
+
+def test_decontaminate_case_and_whitespace_insensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "The  QUICK\tfox jumps")], "doc_id int, text string"
+    )
+    bench = spark.createDataFrame([(9, "the quick fox")], "doc_id int, text string")
+    out = decontaminate(docs, benchmark_ngrams(bench, n=3), n=3).first()
+    assert out["contaminated"] is True
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id int, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d")], "doc_id int, text string")
+    # bench has two 3-grams: "a b c", "b c d"; doc hits both.
+    strict = decontaminate(
+        docs, benchmark_ngrams(bench, n=3), n=3, min_overlap=3
+    ).first()
+    assert strict["n_hit_ngrams"] == 2 and strict["contaminated"] is False
+    loose = decontaminate(
+        docs, benchmark_ngrams(bench, n=3), n=3, min_overlap=2
+    ).first()
+    assert loose["contaminated"] is True
+
+
+def test_decontaminate_distinct_grams_counted_once(spark):
+    # "x y x y x y" repeats the gram "x y x"/"y x y" — array_distinct must
+    # count each hit gram once.
+    docs = spark.createDataFrame([(1, "x y x y x y x y")], "doc_id int, text string")
+    bench = spark.createDataFrame([(9, "x y x")], "doc_id int, text string")
+    out = decontaminate(docs, benchmark_ngrams(bench, n=3), n=3).first()
+    assert out["n_hit_ngrams"] == 1
+
+
+def test_decontaminate_duckdb_twin_matches(spark):
+    """Cross-engine: Spark operator vs the DuckDB twin on sf0.001."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = benchmark_ngrams(docs.where(F.col("doc_id") % 7 == 3), n=8)
+    got = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            duckdb_decontaminate_sql(
+                "documents", "SELECT * FROM documents WHERE doc_id % 7 = 3", n=8
+            )
+        ).fetchall()
+    }
+    assert got == want
+
+
+# ------------------------------------------------------------------ mixture
+
+
+def _toy_docs(spark):
+    rows = []
+    for i in range(80):
+        rows.append((i, "en", 100))
+    for i in range(80, 95):
+        rows.append((i, "de", 100))
+    for i in range(95, 100):
+        rows.append((i, "fr", 100))
+    return spark.createDataFrame(rows, "doc_id int, lang string, n_chars int")
+
+
+def test_mixture_weights_invariants(spark):
+    w = domain_mixture_weights(
+        _toy_docs(spark), domain_col="lang", size_col="n_chars", alpha=0.3
+    ).collect()
+    by = {r["domain"]: r for r in w}
+    assert abs(sum(r["p"] for r in w) - 1.0) < 1e-12
+    assert abs(sum(r["weight"] for r in w) - 1.0) < 1e-12
+    assert max(r["rate"] for r in w) == pytest.approx(1.0)
+    # alpha < 1 compresses: minority up-weighted, majority down-weighted
+    assert by["fr"]["weight"] > by["fr"]["p"]
+    assert by["en"]["weight"] < by["en"]["p"]
+    # rates realize the mixture without upsampling: rarest domain keeps all
+    assert by["fr"]["rate"] == pytest.approx(1.0)
+    assert by["en"]["rate"] < by["de"]["rate"] < 1.0
+
+
+def test_mixture_alpha_one_is_identity(spark):
+    w = domain_mixture_weights(
+        _toy_docs(spark), domain_col="lang", size_col="n_chars", alpha=1.0
+    ).collect()
+    for r in w:
+        assert r["weight"] == pytest.approx(r["p"])
+        assert r["rate"] == pytest.approx(1.0)
+
+
+def test_mixture_resample_deterministic_and_rate_shaped(spark):
+    docs = _toy_docs(spark)
+    w = domain_mixture_weights(
+        docs, domain_col="lang", size_col="n_chars", alpha=0.3
+    )
+    out1 = mixture_resample(docs, w, domain_col="lang", seed=7).collect()
+    out2 = mixture_resample(docs, w, domain_col="lang", seed=7).collect()
+    assert sorted(map(str, out1)) == sorted(map(str, out2))
+    kept = {r["doc_id"]: r["keep"] for r in out1}
+    # every fr doc kept (rate 1.0); en thinned
+    for i in range(95, 100):
+        assert kept[i] is True
+    n_en_kept = sum(kept[i] for i in range(80))
+    assert 0 < n_en_kept < 80
+
+
+def test_mixture_unknown_domain_dropped(spark):
+    docs = _toy_docs(spark)
+    w = domain_mixture_weights(
+        docs.where(F.col("lang") != "fr"), domain_col="lang", size_col="n_chars"
+    )
+    out = mixture_resample(docs, w, domain_col="lang").collect()
+    for r in out:
+        if r["lang"] == "fr":
+            assert r["keep"] is False  # no rate → COALESCE 0 → dropped
+
+
+def test_mixture_duckdb_twin_matches(spark, tmp_path):
+    docs = _toy_docs(spark)
+    pq = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    w = domain_mixture_weights(
+        docs, domain_col="lang", size_col="n_chars", alpha=0.3
+    )
+    got_w = {
+        r["domain"]: (round(r["p"], 6), round(r["weight"], 6), round(r["rate"], 6))
+        for r in w.collect()
+    }
+    want_w = {
+        r[0]: (r[3], r[4], r[5])
+        for r in con.execute(
+            duckdb_mixture_sql(
+                "documents", domain_col="lang", size_col="n_chars", alpha=0.3
+            )
+        ).fetchall()
+    }
+    assert got_w == want_w
+    got_k = {
+        r["doc_id"]: r["keep"]
+        for r in mixture_resample(docs, w, domain_col="lang", seed=42).collect()
+    }
+    want_k = {
+        r[0]: r[2]
+        for r in con.execute(
+            duckdb_resample_sql(
+                "documents",
+                domain_col="lang",
+                size_col="n_chars",
+                alpha=0.3,
+                seed=42,
+            )
+        ).fetchall()
+    }
+    assert got_k == want_k

@@ -383,3 +383,85 @@ def test_ivf_hash_sample_beats_prefix(spark):
         f"prefix sampling should be demonstrably worse on a clustered-prefix "
         f"corpus: hash={r_hash} prefix={r_prefix}"
     )
+
+
+# ------------------------------------------------------------- semantic dedup
+
+
+def _emb_rows():
+    # ids 10/11 nearly parallel (cos ≈ 0.9999), 12 orthogonal-ish, 13 close
+    # to 12 but below a 0.99 threshold
+    return [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [0.999, 0.04, 0.0, 0.0]),
+        (12, [0.0, 0.0, 1.0, 0.0]),
+        (13, [0.0, 0.3, 0.95, 0.0]),
+    ]
+
+
+def test_semantic_dedup_min_id_survives(spark):
+    from fast_langdetect_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        _emb_rows(), "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, threshold=0.99, n_clusters=1).collect()}
+    assert out[10]["is_semantic_dup"] is False     # min id of the pair keeps
+    assert out[11]["is_semantic_dup"] is True
+    assert out[11]["max_prior_cosine"] > 0.99
+    assert out[12]["is_semantic_dup"] is False
+    assert out[13]["is_semantic_dup"] is False     # cos(12,13) ≈ 0.95 < 0.99
+    assert out[13]["max_prior_cosine"] < 0.99
+
+
+def test_semantic_dedup_single_cell_matches_exact_pairs(spark):
+    """With n_clusters=1 every vector shares a cell, so the dup set must be
+    exactly 'has a smaller-id partner at cosine >= t' from the exact
+    all-pairs computation — the clustering only ever REMOVES candidate
+    pairs, never adds."""
+    from fast_langdetect_spark.operators.similarity import (
+        brute_force_pairs,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(
+        F.col("vec_id") < 120
+    )
+    t = 0.35
+    exact = brute_force_pairs(emb, threshold=t, exact=True).collect()
+    want_dups = {max(r["id_a"], r["id_b"]) for r in exact}
+    got = semantic_dedup(emb, threshold=t, n_clusters=1).collect()
+    assert {r["vec_id"] for r in got if r["is_semantic_dup"]} == want_dups
+    assert len(got) == emb.count()
+
+
+def test_semantic_dedup_partition_blind(spark):
+    """Flags must not depend on input partitioning (cell assignment uses a
+    shared pure fn; min-id prune is order-free)."""
+    from fast_langdetect_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(
+        F.col("vec_id") < 150
+    )
+    a = sorted(map(str, semantic_dedup(emb.repartition(13), threshold=0.4,
+                                       n_clusters=4).collect()))
+    b = sorted(map(str, semantic_dedup(emb.coalesce(1), threshold=0.4,
+                                       n_clusters=4).collect()))
+    assert a == b
+
+
+def test_semantic_dedup_mega_cell_cap_reported(spark):
+    from fast_langdetect_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0, 0.0, 0.0, float(i) * 1e-4]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = {}
+    out = semantic_dedup(
+        df, threshold=0.5, n_clusters=1, max_cell_size=10, stats_out=stats
+    ).collect()
+    assert stats["dropped_cells"] == 1
+    assert stats["dropped_cell_rows"] == 30
+    # dropped cell → nothing flagged here (exact dedup owns near-identical)
+    assert all(not r["is_semantic_dup"] for r in out)
+    assert len(out) == 30

@@ -1,0 +1,110 @@
+"""Incremental (corpus-vs-history) dedup: exact sha flags + A-vs-B LSH."""
+
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark.operators.dedup import (
+    incremental_exact_flags,
+    incremental_minhash_flags,
+    minhash_bands,
+    minhash_lsh_pairs,
+)
+
+
+def test_incremental_exact_known_and_fresh(spark):
+    hist = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "seen before"), (11, "brand new content")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["is_known_dup"] for r in
+           incremental_exact_flags(new, hist).collect()}
+    assert out == {10: True, 11: False}
+
+
+def test_incremental_exact_accepts_precomputed_sha_table(spark):
+    """Deployment shape: history is a persisted content_sha256 table."""
+    hist_raw = spark.createDataFrame([(1, "seen before")], "doc_id int, text string")
+    hist_shas = hist_raw.select(F.sha2("text", 256).alias("content_sha256"))
+    new = spark.createDataFrame(
+        [(10, "seen before"), (11, "fresh")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r["is_known_dup"] for r in
+           incremental_exact_flags(new, hist_shas).collect()}
+    assert out == {10: True, 11: False}
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        (1, base * 4),
+        (2, base * 4 + "tiny drift at the end"),   # near-dup of 1
+        (3, "completely different text about spark catalyst optimizer " * 5),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_incremental_minhash_flags_near_dup_of_history(spark):
+    corpus = _corpus(spark)
+    hist = corpus.where(F.col("doc_id") == 1)
+    new = corpus.where(F.col("doc_id") > 1)
+    out = {r["doc_id"]: r for r in
+           incremental_minhash_flags(new, hist, threshold=0.5).collect()}
+    assert out[2]["is_near_known"] is True
+    assert out[2]["n_hist_matches"] == 1
+    assert out[2]["best_est_jaccard"] >= 0.5
+    assert out[3]["is_near_known"] is False
+    assert out[3]["best_est_jaccard"] == 0.0
+
+
+def test_incremental_minhash_accepts_precomputed_band_table(spark):
+    """Deployment shape: history bands persisted once, reused per ingest —
+    results identical to recomputing from raw history text."""
+    corpus = _corpus(spark)
+    hist = corpus.where(F.col("doc_id") == 1)
+    new = corpus.where(F.col("doc_id") > 1)
+    hist_bands = minhash_bands(hist)
+    from_raw = sorted(map(str, incremental_minhash_flags(new, hist).collect()))
+    from_bands = sorted(map(str, incremental_minhash_flags(new, hist_bands).collect()))
+    assert from_raw == from_bands
+
+
+def test_incremental_minhash_consistent_with_self_join_lsh(spark, sf_dir):
+    """A-vs-B flags must agree with the batch self-join pairs restricted to
+    (new, hist) crossings on the real synth corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = 25
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, n_perm=64, n_bands=16).collect()
+    crossing = {
+        max(r["id_a"], r["id_b"])
+        for r in pairs
+        if (r["id_a"] < split) != (r["id_b"] < split)
+    }
+    flagged = {
+        r["doc_id"]
+        for r in incremental_minhash_flags(
+            docs.where(F.col("doc_id") >= split),
+            docs.where(F.col("doc_id") < split),
+            threshold=0.5, n_perm=64, n_bands=16,
+        ).collect()
+        if r["is_near_known"]
+    }
+    # every self-join crossing pair's new side must be flagged; the A-vs-B
+    # form may flag strictly more (self-join bucket caps apply to the union)
+    assert {i for i in crossing if i >= split} <= flagged
+
+
+def test_incremental_minhash_history_bucket_cap_reported(spark):
+    rows = [(i, "boiler plate identical text " * 10) for i in range(30)]
+    hist = spark.createDataFrame(rows, "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(100, "boiler plate identical text " * 10)], "doc_id int, text string"
+    )
+    stats = {}
+    out = incremental_minhash_flags(
+        new, hist, max_bucket_size=5, stats_out=stats
+    ).collect()
+    assert stats["dropped_buckets"] > 0
+    # the mega-bucket was dropped → not flagged here (exact dedup owns it)
+    assert out[0]["is_near_known"] is False

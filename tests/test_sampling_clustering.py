@@ -304,3 +304,70 @@ def test_pack_shards_overflow_invariant_property(spark, rows):
             assert tot <= budget + shard_max[si], (bucket, si, tot)
         if all(r["n_chars"] <= budget for r in rs):
             assert sorted(shard_totals) == list(range(len(shard_totals)))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # bucket
+            st.integers(min_value=0, max_value=350),  # tokens (0 → dropped;
+        ),                                            # may span many cuts)
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pack_sequences_partition_property(spark, rows):
+    """pack_sequences invariants for ANY sizes/bucket splits: (1) slices
+    partition each doc exactly (offsets dense from 0, sum = n_tokens);
+    (2) every sequence except a bucket's last holds exactly context_len
+    tokens with contiguous seq_offsets; (3) zero-token docs emit nothing."""
+    from fast_langdetect_spark.operators.sampling import pack_sequences
+
+    L = 100
+    df = spark.createDataFrame(
+        [(b, i, s) for i, (b, s) in enumerate(rows)],
+        "bucket int, doc_id int, n_tokens int",
+    )
+    out = pack_sequences(
+        df, tokens_col="n_tokens", part_col="bucket", order_col="doc_id",
+        context_len=L,
+    ).collect()
+    sizes = {i: s for i, (_, s) in enumerate(rows)}
+    # (1) per-doc partition
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {i for i, s in sizes.items() if s > 0}
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["doc_offset"])
+        pos = 0
+        for r in rs:
+            assert r["doc_offset"] == pos
+            assert r["n_slice"] > 0
+            pos += r["n_slice"]
+        assert pos == sizes[doc]
+    # (2) per-sequence fullness + contiguity
+    by_seq: dict = {}
+    for r in out:
+        by_seq.setdefault((r["bucket"], r["seq_idx"]), []).append(r)
+    last_seq = {}
+    for (b, s) in by_seq:
+        last_seq[b] = max(last_seq.get(b, -1), s)
+    for (b, s), rs in by_seq.items():
+        rs.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for r in rs:
+            assert r["seq_offset"] == pos
+            pos += r["n_slice"]
+        if s < last_seq[b]:
+            assert pos == L
+        else:
+            assert 0 < pos <= L
+    # seq indices dense from 0 per bucket
+    for b, smax in last_seq.items():
+        assert {s for (bb, s) in by_seq if bb == b} == set(range(smax + 1))
