@@ -69,3 +69,68 @@ def test_curation_default_mode_single_arrow_crossing(spark):
         CurationConfig(pipeline=PipelineConfig(n_buckets=4)),
     )
     assert _plan(out).count("ArrowEvalPython") == 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The corpus side must stream: benchmark gram set broadcast, no
+    SortMergeJoin against the exploded corpus grams, no Python stage
+    (gram generation is pure Catalyst)."""
+    from fast_langdetect_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = benchmark_ngrams(docs.where(F.col("doc_id") % 7 == 3), n=8)
+    plan = _plan(decontaminate(docs, bench, n=8))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mixture_resample_is_broadcast_plus_map(spark):
+    """The corpus never shuffles: the tiny rate table broadcasts and the
+    keep decision is a pure map (no Exchange keyed on corpus columns
+    upstream of the final projection — the only exchanges allowed are the
+    |domains|-row aggregations)."""
+    from fast_langdetect_spark.operators.mixture import (
+        domain_mixture_weights,
+        mixture_resample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = domain_mixture_weights(docs, domain_col="lang", size_col="n_chars")
+    plan = _plan(mixture_resample(docs, w, domain_col="lang"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_exact_no_window_partial_distinct(spark):
+    """History collapses map-side (partial aggregate before the exchange);
+    no window anywhere."""
+    from fast_langdetect_spark.operators.dedup import incremental_exact_flags
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(
+        incremental_exact_flags(
+            docs.where(F.col("doc_id") >= 250), docs.where(F.col("doc_id") < 250)
+        )
+    )
+    assert "Window" not in plan
+    assert "HashAggregate" in plan  # the map-side-partial distinct
+
+
+def test_pack_sequences_single_bucket_window(spark):
+    """Exactly one window (the per-bucket cumsum); the explode must stay
+    map-side (no extra exchange between window and output)."""
+    from fast_langdetect_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(
+        pack_sequences(
+            docs.select("doc_id", "source", "n_chars"),
+            tokens_col="n_chars", part_col="source", order_col="doc_id",
+            context_len=500,
+        )
+    )
+    assert plan.count("Window") == 1
+    assert "Generate" in plan  # posexplode stays in the same stage
