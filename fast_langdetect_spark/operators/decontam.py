@@ -33,8 +33,12 @@ scale (the benchmark side is the small one).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 TOKEN_SPLIT = "[ \t\r\n\f]+"
 KEY_HEX_LEN = 16
@@ -186,3 +190,47 @@ SELECT d.{id_col} AS {id_col},
        COALESCE(h.n_hit_ngrams, 0) >= {min_overlap} AS contaminated
 FROM {docs_table} d LEFT JOIN hits h ON h.id = d.{id_col}
 """
+
+
+# ------------------------------------------------------- map-side / streaming
+
+
+def decontaminate_map_side(
+    docs: DataFrame,
+    bench_keys: list,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Pure map-side decontamination: same output schema and semantics as
+    :func:`decontaminate`, but the benchmark key set ships to executors as
+    a task-closure set (Spark broadcasts closures once per executor) and
+    hits are counted per row — NO shuffle, NO aggregation, so it runs
+    unchanged on a STREAMING DataFrame (stateless → append mode, no
+    watermark needed).
+
+    This is the production streaming-ingest shape: benchmark sets are MBs
+    (a few million 16-hex keys ≈ tens of MB pickled), well inside executor
+    broadcast budgets.  If a benchmark ever outgrows that, fall back to
+    the batch join form on micro-batches via foreachBatch.
+
+    ``bench_keys`` is the collected ``gram_key`` column of
+    :func:`benchmark_ngrams` (driver-side collect of the SMALL side only)."""
+    keys = frozenset(bench_keys)
+    grams = ngram_keys_col(text_col, n)
+
+    @pandas_udf("int")
+    def _hits(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.apply(
+                lambda arr: sum(1 for g in arr if g in keys)
+            ).astype("int32")
+
+    hits = _hits(grams)
+    return docs.select(
+        F.col(id_col),
+        hits.alias("n_hit_ngrams"),
+        (hits >= min_overlap).alias("contaminated"),
+    )

@@ -207,3 +207,44 @@ def test_mixture_duckdb_twin_matches(spark, tmp_path):
         ).fetchall()
     }
     assert got_k == want_k
+
+
+def test_decontaminate_map_side_matches_join_form(spark):
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = benchmark_ngrams(docs.where(F.col("doc_id") % 7 == 3), n=8)
+    keys = [r["gram_key"] for r in bench.collect()]
+    from fast_langdetect_spark.operators.decontam import decontaminate_map_side
+
+    a = sorted(map(str, decontaminate(docs, bench, n=8).collect()))
+    b = sorted(map(str, decontaminate_map_side(docs, keys, n=8).collect()))
+    assert a == b
+
+
+def test_decontaminate_map_side_streams(spark, tmp_path):
+    """The map-side form is stateless → runs on a stream in append mode
+    with no watermark, and matches the batch join form row for row."""
+    import uuid
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = benchmark_ngrams(docs.where(F.col("doc_id") % 7 == 3), n=8)
+    keys = [r["gram_key"] for r in bench.collect()]
+    from fast_langdetect_spark.operators.decontam import decontaminate_map_side
+
+    src = str(tmp_path / "stream_src")
+    docs.write.mode("overwrite").parquet(src)  # file source needs a DIR
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    name = f"decontam_{uuid.uuid4().hex[:8]}"
+    q = (
+        decontaminate_map_side(stream, keys, n=8)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(str, spark.table(name).collect()))
+    want = sorted(map(str, decontaminate(docs, bench, n=8).collect()))
+    assert got == want

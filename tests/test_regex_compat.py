@@ -319,3 +319,52 @@ def test_token_jaccard_tokenization_fuzz(spark):
     assert len(got) > 0  # vocabulary overlap really produces pairs
     for k in got:
         assert abs(got[k] - duck[k]) < 1e-12, k
+
+
+def test_decontam_ngram_fuzz_vs_duckdb(spark):
+    """Fuzz the decontamination twin: gram windows (slice arithmetic on
+    BOTH engines), lowercase, ASCII_WS split, sha2-16 keys, per-doc
+    distinct-hit counts — mixed-script tokens + adversarial whitespace,
+    docs straddling the n-token minimum."""
+    from fast_langdetect_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate,
+        duckdb_decontaminate_sql,
+    )
+
+    rng = random.Random(777)
+    vocab = [
+        "Def", "DEF", "def", "日本語", "中文", "Ωμέγα", "ωμέγα", "Straße",
+        "x1", "a　b", "токен", "ТОКЕН", "ﬁle", "naïve", "NAÏVE", "ǅungla",
+    ]
+    ws = [" ", "\t", "\r", "\n", "\f", "  ", " \t\n"]
+    n = 3
+    texts = []
+    for _ in range(80):
+        k = rng.randrange(1, 10)  # some docs below the n-gram minimum
+        toks = [rng.choice(vocab) for _ in range(k)]
+        texts.append(
+            "".join(t + rng.choice(ws) for t in toks)
+            + rng.choice(["", " ", "\x0b"])
+        )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bench = benchmark_ngrams(df.where(F.col("doc_id") % 5 == 2), n=n)
+    got = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+        for r in decontaminate(df, bench, n=n).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(enumerate(texts), columns=["doc_id", "text"]))
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            duckdb_decontaminate_sql(
+                "docs", "SELECT * FROM docs WHERE doc_id % 5 = 2", n=n
+            )
+        ).fetchall()
+    }
+    assert got == duck
+    assert any(v[1] for v in got.values())      # hits actually exercised
+    assert any(not v[1] for v in got.values())  # and non-hits
