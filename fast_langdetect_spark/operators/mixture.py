@@ -59,29 +59,31 @@ def domain_mixture_weights(
     rate = (weight/p) / max(weight/p) — the no-upsampling realization.
 
     One groupBy on the domain key (map-side partial, |domains| output rows);
-    the two normalizations are broadcast scalar joins over that tiny table."""
+    the three normalizations are UNPARTITIONED windows over that tiny
+    aggregated table — normally an anti-pattern (single-reducer), but here
+    it is the deliberate scale shape: the window input is |domains| rows
+    (hundreds at most), and it keeps the plan at exactly ONE corpus scan.
+    The naive alternative — crossJoin(broadcast(agg)) per normalization —
+    re-executes the corpus aggregation subplan for every broadcast (8
+    corpus scans measured), which is catastrophic at deployment scale."""
+    from pyspark.sql import Window
+
     units = F.sum(size_col) if size_col else F.count(F.lit(1))
     per = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         units.cast("double").alias("n_units"),
     )
-    tot = per.agg(F.sum("n_units").alias("__total"))
-    with_p = per.crossJoin(F.broadcast(tot)).withColumn(
-        "p", F.col("n_units") / F.col("__total")
+    w_all = Window.partitionBy()
+    p = F.col("n_units") / F.sum("n_units").over(w_all)
+    with_p = per.withColumn("p", p).withColumn(
+        "__pa", F.pow("p", F.lit(float(alpha)))
     )
-    with_pa = with_p.withColumn("__pa", F.pow("p", F.lit(float(alpha))))
-    norm = with_pa.agg(
-        F.sum("__pa").alias("__pa_sum"),
+    weight = F.col("__pa") / F.sum("__pa").over(w_all)
+    with_w = with_p.withColumn("weight", weight).withColumn(
+        "__ratio", F.col("weight") / F.col("p")
     )
-    with_w = (
-        with_pa.crossJoin(F.broadcast(norm))
-        .withColumn("weight", F.col("__pa") / F.col("__pa_sum"))
-        .withColumn("__ratio", F.col("weight") / F.col("p"))
-    )
-    rmax = with_w.agg(F.max("__ratio").alias("__rmax"))
     return (
-        with_w.crossJoin(F.broadcast(rmax))
-        .withColumn("rate", F.col("__ratio") / F.col("__rmax"))
+        with_w.withColumn("rate", F.col("__ratio") / F.max("__ratio").over(w_all))
         .select("domain", "n_docs", "n_units", "p", "weight", "rate")
     )
 
