@@ -580,19 +580,29 @@ def incremental_minhash_flags(
     mega-buckets; exact incremental dedup owns those) and drops are
     reported, never silent.  The pair set never materializes beyond
     (new-band × capped-history-bucket) matches, and the final flags join
-    back is AQE-broadcastable (matches ≪ batch)."""
+    back is AQE-broadcastable (matches ≪ batch).
+
+    Like minhash_lsh_pairs this function is EAGER: the (small) hit table
+    is materialized via localCheckpoint so the history signature cache can
+    be released before returning."""
     bands_new = minhash_bands(
         new_df, id_col, text_col,
         n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k, seed=seed,
     )
     band_cols = {"id", "sig", "band", "bhash"}
+    hist_persisted = False
     if band_cols.issubset(set(history_df.columns)):
         bands_hist = history_df.select("id", "sig", "band", "bhash")
     else:
+        # raw-text history: the band table feeds the size aggregation AND
+        # both uses below — persist so the signature UDF runs ONCE over the
+        # history (the persisted-band-table deployment path never pays it);
+        # released after the eager hits materialization.
         bands_hist = minhash_bands(
             history_df, id_col, text_col,
             n_perm=n_perm, n_bands=n_bands, shingle_k=shingle_k, seed=seed,
-        )
+        ).persist()
+        hist_persisted = True
     sizes = bands_hist.groupBy("band", "bhash").agg(
         F.count(F.lit(1)).alias("bsz")
     )
@@ -642,6 +652,11 @@ def incremental_minhash_flags(
             F.max("est_jaccard").alias("best_est_jaccard"),
         )
     )
+    # materialize hits (small: only near-known new docs), then release the
+    # history cache — same eager/release shape as minhash_lsh_pairs
+    hits = hits.localCheckpoint(eager=True)
+    if hist_persisted:
+        bands_hist.unpersist()
     return (
         new_df.select(F.col(id_col).alias("new_id"))
         .join(hits, "new_id", "left")

@@ -544,11 +544,17 @@ def semantic_dedup(
         train_sample=train_sample, seed=seed,
     )
     assign = ivf_assign_udf(cent)
+    # persist: the assignment UDF feeds the size aggregation and BOTH sides
+    # of the within-cell self-join — without the cache it would re-run the
+    # matmul pass over the corpus four times.  Released after the eager
+    # prior-cosine materialization; the final (id, cell) output pass then
+    # recomputes the assignment exactly once more on a pruned plan (the
+    # accepted trade: 2 total passes, no cache leak, output stays lazy).
     assigned = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         assign(F.col(vec_col)).alias("cell"),
-    )
+    ).persist()
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
     dropped = (
         sizes.where(F.col("csz") > max_cell_size)
@@ -582,6 +588,9 @@ def semantic_dedup(
         .groupBy("id")
         .agg(F.max("cosine").alias("max_prior_cosine"))
     )
+    # materialize the (small) prior table, then release the assignment cache
+    prior = prior.localCheckpoint(eager=True)
+    assigned.unpersist()
     return (
         assigned.select("id", "cell")
         .join(prior, "id", "left")
