@@ -14,6 +14,8 @@ Headline queries:
   * langid_docs — language-ID UDF over the sf documents table.
   * quality_native — native rule metrics + rule-only decision (no UDF).
   * scrub_docs — PII scrub chain + sha256 over documents.
+  * curation_extras — decontamination + mixture resample + sequence packing
+    over the same 500k corpus (the round-4 Catalyst-native curation ops).
 
 Extra keys (informational): files_per_sec for the pipeline, cpus, rows.
 """
@@ -96,6 +98,53 @@ def q_scrub_docs(spark, sf_dir: str):
         F.sum(F.length(scrub_column(F.col("text")))).alias("s"),
         F.sum(F.length(F.sha2("text", 256))).alias("h"),
     ).collect()[0]
+
+
+def q_curation_extras(spark, corpus_path: str):
+    """The round-4 curation operators at 500k scale, all Catalyst-native:
+    benchmark decontamination (map-side grams + broadcast bench join),
+    domain-mixture weights + deterministic resample (one corpus scan +
+    broadcast rate join), and sequence packing (per-bucket window cumsum +
+    map-side explode).  One forced-evaluation aggregate per operator."""
+    from fast_langdetect_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate,
+    )
+    from fast_langdetect_spark.operators.mixture import (
+        domain_mixture_weights,
+        mixture_resample,
+    )
+    from fast_langdetect_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(corpus_path).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        "lang",
+        "content",
+        F.length("content").alias("n_chars"),
+    )
+    # n=13 (the GPT-3 dedup window): synthetic code is template-heavy, so
+    # 8-grams hit on shared boilerplate everywhere; 13-grams discriminate
+    bench = benchmark_ngrams(
+        docs.where(F.pmod(F.col("doc_id"), F.lit(997)) == 0), text_col="content", n=13
+    )
+    dec = decontaminate(docs, bench, text_col="content", n=13).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("contaminated").cast("long")).alias("c"),
+    ).collect()[0]
+    w = domain_mixture_weights(docs, domain_col="lang", size_col="n_chars")
+    rs = mixture_resample(docs, w, domain_col="lang", id_col="doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("k"),
+    ).collect()[0]
+    seq = pack_sequences(
+        docs.select("doc_id", "lang", "n_chars"),
+        tokens_col="n_chars", part_col="lang", order_col="doc_id",
+        context_len=65536,
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_slice").alias("s")
+    ).collect()[0]
+    return {"n": dec["n"], "decontaminated": dec["c"], "kept": rs["k"],
+            "slices": seq["n"]}
 
 
 def _total_busy_jiffies() -> int:
@@ -264,6 +313,7 @@ def main() -> None:
         ("langid_docs", lambda: q_langid_docs(spark, sf_dir)),
         ("quality_native", lambda: q_quality_native(spark, sf_dir)),
         ("scrub_docs", lambda: q_scrub_docs(spark, sf_dir)),
+        ("curation_extras", lambda: q_curation_extras(spark, corpus_path)),
     ]
     retries = int(os.environ.get("FLD_BENCH_RETRIES", "2"))
     for name, fn in all_queries:

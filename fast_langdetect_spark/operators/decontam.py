@@ -25,9 +25,11 @@ Spark-first shape, and why it holds at 100 TB:
 
 Tokenization is the repo-wide dialect: lowercase, explicit ASCII class
 ``[ \\t\\r\\n\\f]+`` split (Java/RE2/DuckDB-portable — see
-operators/regex_compat.py), empty tokens dropped.  Gram keys are the first
-16 hex chars of sha256 of the space-joined gram — identical in Spark and
-DuckDB, and 64 bits is plenty against birthday collisions at benchmark
+operators/regex_compat.py), empty tokens dropped.  Gram keys are xxhash64
+over the token-array slice (native, codegen-friendly, no per-gram string
+build); the DuckDB oracle joins on the raw space-joined gram — the
+collision-free twin of the hash, same equivalence as the minhash band
+oracles.  64 bits is plenty against birthday collisions at benchmark
 scale (the benchmark side is the small one).
 """
 
@@ -41,36 +43,74 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 TOKEN_SPLIT = "[ \t\r\n\f]+"
-KEY_HEX_LEN = 16
 
 
 def tokens_col(text_col: str = "text") -> Column:
-    """Lowercased non-empty tokens, repo-standard ASCII-whitespace split."""
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
-        lambda x: x != F.lit(""),
-    )
+    """Lowercased non-empty tokens, repo-standard ASCII-whitespace split.
+
+    Empty-token removal uses native array_remove, NOT an F.filter lambda:
+    with a ``X+`` split pattern empties only arise at the string edges, so
+    the two are equivalent — and higher-order lambdas evaluate INTERPRETED
+    per element (~10-30 µs each), which at corpus scale dominates
+    everything else in the operator (measured: see ngram_keys_col)."""
+    return F.array_remove(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), "")
 
 
 def ngram_keys_col(text_col: str = "text", n: int = 8) -> Column:
-    """Distinct 16-hex sha256 keys of all word ``n``-grams of ``text_col``.
+    """Distinct xxhash64 keys of all word ``n``-grams of ``text_col``
+    (array<long>; the hash is taken over the token-array SLICE directly —
+    no per-gram string build, no cryptographic hash).
 
-    Pure map-side Catalyst: split → sequence → slice → array_join → sha2.
-    Docs with fewer than ``n`` tokens yield an empty array (F.sequence
-    would count DOWN for stop < start, hence the explicit guard)."""
+    Pure map-side Catalyst: split → sequence → slice → xxhash64.  Docs
+    with fewer than ``n`` tokens yield an empty array (F.sequence would
+    count DOWN for stop < start, hence the explicit guard).
+
+    Perf note: this ARRAY-valued form exists for the streaming/map-side
+    variant and small inputs.  Higher-order lambdas evaluate INTERPRETED
+    per element (measured ~15 µs/gram — ~5,000 cpu-sec over the 500k×~700-
+    gram bench corpus, and the lambda BODY barely matters: swapping
+    sha2(array_join(...)) for xxhash64(slice) changed nothing).  The batch
+    :func:`decontaminate` therefore does NOT call this; it uses the
+    explode-first whole-stage-codegen shape (see ``_gram_rows``).  The
+    DuckDB oracle joins on the raw space-joined gram string — the
+    collision-free twin of the hash (tokens cannot contain the join
+    character, so string-join is injective; identical counts modulo
+    xxhash collisions), the same equivalence the minhash band oracles
+    use."""
     toks = tokens_col(text_col)
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.substring(
-                F.sha2(F.array_join(F.slice(toks, i, n), " "), 256),
-                1,
-                KEY_HEX_LEN,
-            ),
+            lambda i: F.xxhash64(F.slice(toks, i, n)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<long>"))
     return F.array_distinct(grams)
+
+
+def _gram_rows(
+    df: DataFrame, id_col, text_col: str, n: int
+) -> DataFrame:
+    """(id, gram_key) rows via the CODEGEN path: posexplode the position
+    range, then the key is a plain projected xxhash64(slice(toks, pos, n))
+    — Generate → Project → (join …) all fuse into one WholeStageCodegen
+    span with no interpreted per-element lambda.  NOT distinct per doc
+    (callers dedupe AFTER the benchmark join, where the row set is small)."""
+    toks = tokens_col(text_col)
+    positions = F.when(
+        F.size(F.col("__toks")) >= n,
+        F.sequence(F.lit(1), F.size(F.col("__toks")) - n + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .select("id", "__toks", F.explode(positions).alias("__pos"))
+        .select(
+            "id",
+            F.xxhash64(F.slice(F.col("__toks"), F.col("__pos"), n)).alias(
+                "gram_key"
+            ),
+        )
+    )
 
 
 def benchmark_ngrams(
@@ -79,10 +119,10 @@ def benchmark_ngrams(
     """Distinct n-gram keys of the benchmark set: one ``gram_key`` column.
 
     The distinct() here is a shuffle of the BENCHMARK only (small side)."""
-    return (
-        bench_df.select(F.explode(ngram_keys_col(text_col, n)).alias("gram_key"))
-        .distinct()
+    bench = bench_df.select(
+        F.monotonically_increasing_id().alias("__bid"), F.col(text_col)
     )
+    return _gram_rows(bench, "__bid", text_col, n).select("gram_key").distinct()
 
 
 def decontaminate(
@@ -102,17 +142,19 @@ def decontaminate(
     ``bench_grams`` (a ``gram_key`` DataFrame from :func:`benchmark_ngrams`),
     ``contaminated`` = n_hit_ngrams >= min_overlap.
 
-    Plan shape (see module docstring): map-side gram generation → explode →
-    broadcast inner join with the benchmark set → groupBy on the hit rows
-    only → left join back (AQE-broadcastable)."""
-    doc_grams = docs.select(
-        F.col(id_col), F.explode(ngram_keys_col(text_col, n)).alias("gram_key")
+    Plan shape (see module docstring): codegen gram-row generation
+    (posexplode + projected hash, no interpreted lambda — see _gram_rows) →
+    broadcast inner join with the benchmark set → countDistinct groupBy on
+    the HIT rows only (per-doc dedupe deferred past the join, where the
+    row set is already small) → left join back (AQE-broadcastable)."""
+    doc_grams = _gram_rows(docs, id_col, text_col, n).withColumnRenamed(
+        "id", id_col
     )
     bench = F.broadcast(bench_grams) if broadcast_bench else bench_grams
     hits = (
         doc_grams.join(bench, "gram_key")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+        .agg(F.count_distinct(F.col("gram_key")).alias("n_hit_ngrams"))
     )
     return (
         docs.select(id_col)
@@ -139,14 +181,16 @@ def duckdb_ngram_keys_cte(
     cte_name: str = "doc_grams",
 ) -> str:
     """CTE body producing (id, gram_key) — distinct per doc — the DuckDB
-    twin of ngram_keys_col + explode.  Same lowercase/ASCII-split/sha2-16
-    dialect; docs with < n tokens contribute no rows."""
+    twin of ngram_keys_col + explode.  Same lowercase/ASCII-split dialect;
+    gram_key is the RAW space-joined gram (the collision-free twin of the
+    Spark side's xxhash64 over the token slice — see ngram_keys_col); docs
+    with < n tokens contribute no rows."""
     return f"""{cte_name} AS (
   SELECT id, unnest(list_distinct(grams)) AS gram_key FROM (
     SELECT {id_col} AS id,
            list_transform(
              generate_series(1, len(toks) - {n} + 1),
-             i -> substr(sha256(array_to_string(toks[i:i+{n}-1], ' ')), 1, {KEY_HEX_LEN})
+             i -> array_to_string(toks[i:i+{n}-1], ' ')
            ) AS grams
     FROM (
       SELECT {id_col},
