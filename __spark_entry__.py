@@ -550,6 +550,47 @@ def _q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular boilerplate flags (operators/dedup.py
+    paragraph_dedup_flags, CCNet/RefinedWeb recipe).  The documents table
+    is single-line, so the query first augments it DETERMINISTICALLY with
+    paragraph structure (identically in the oracle): every even doc gains
+    one of three shared boilerplate paragraphs (cross-doc duplicates);
+    every doc_id % 5 == 0 gains a unique trailer — dup fractions land in
+    {0, 1/3, 1/2} and the 0.4 threshold splits them."""
+    from fast_langdetect_spark.operators.dedup import paragraph_dedup_flags
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.when(
+                d % 2 == 0,
+                F.concat(
+                    F.lit("shared boilerplate license header paragraph variant "),
+                    (d % 3).cast("string"),
+                    F.lit(" padded well past the minimum paragraph length rule"),
+                ),
+            ),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit("unique trailer "),
+                    d.cast("string"),
+                    F.lit(" paragraph with enough characters to qualify"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = paragraph_dedup_flags(aug, max_dup_frac=0.4)
+    return out.select(
+        "doc_id", "n_paras", "n_dup_paras",
+        F.round("dup_frac", 6).alias("dup_frac_r"), "is_boilerplate",
+    )
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup (operators/similarity.py
     semantic_dedup): k-means cells + within-cell min-id-survives prune.
@@ -704,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": _q_curation,
         "stream_dedup": _q_stream_dedup,
         "stream_near_dedup": _q_stream_near_dedup,
+        "paragraph_dedup": _q_paragraph_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "pack_sequences": _q_pack_sequences,
         "incr_exact_dups": _q_incr_exact_dups,
@@ -1508,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT sha256(text) AS content_sha256 FROM documents"
         ),
         "pack_sequences": _pack_sequences_sql(),
+        "paragraph_dedup": _paragraph_dedup_sql(),
         "incr_exact_dups": (
             "SELECT n.doc_id, sha256(n.text) AS content_sha256, "
             "EXISTS (SELECT 1 FROM documents h "
@@ -1521,6 +1564,30 @@ def oracle_sql() -> dict[str, str]:
     }
     base.update(_signature_cte_oracles())
     return base
+
+
+def _paragraph_dedup_sql() -> str:
+    from fast_langdetect_spark.operators.dedup import duckdb_paragraph_dedup_sql
+
+    nl2 = "chr(10) || chr(10)"
+    aug = f"""(SELECT doc_id,
+      text
+      || CASE WHEN doc_id % 2 = 0 THEN {nl2}
+           || 'shared boilerplate license header paragraph variant '
+           || CAST(doc_id % 3 AS VARCHAR)
+           || ' padded well past the minimum paragraph length rule'
+         ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN {nl2}
+           || 'unique trailer ' || CAST(doc_id AS VARCHAR)
+           || ' paragraph with enough characters to qualify'
+         ELSE '' END AS text
+    FROM documents)"""
+    inner = duckdb_paragraph_dedup_sql(aug, max_dup_frac=0.4)
+    return (
+        "SELECT doc_id, n_paras, n_dup_paras, "
+        "round(dup_frac, 6) AS dup_frac_r, is_boilerplate "
+        f"FROM ({inner}) q"
+    )
 
 
 def _pack_sequences_sql() -> str:

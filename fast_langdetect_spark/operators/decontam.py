@@ -51,8 +51,8 @@ def tokens_col(text_col: str = "text") -> Column:
     Empty-token removal uses native array_remove, NOT an F.filter lambda:
     with a ``X+`` split pattern empties only arise at the string edges, so
     the two are equivalent — and higher-order lambdas evaluate INTERPRETED
-    per element (~10-30 µs each), which at corpus scale dominates
-    everything else in the operator (measured: see ngram_keys_col)."""
+    per element (cheap for scalar bodies, ~15 µs for allocation-heavy ones;
+    see ngram_keys_col), so the native form is never worse."""
     return F.array_remove(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), "")
 
 

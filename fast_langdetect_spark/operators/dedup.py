@@ -671,3 +671,104 @@ def incremental_minhash_flags(
             ),
         )
     )
+
+
+# ------------------------------------------------------- paragraph dedup
+
+
+def paragraph_dedup_flags(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_para_chars: int = 30,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """Paragraph-granular dedup (CCNet / RefinedWeb recipe, public): hash
+    every paragraph (split on blank lines), count how often each hash
+    occurs across the corpus, and flag documents whose duplicated-paragraph
+    fraction exceeds ``max_dup_frac`` (boilerplate shells: license walls,
+    nav chrome, generated headers).  Paragraphs shorter than
+    ``min_para_chars`` are ignored (ubiquitous one-liners would make
+    everything a dup).
+
+    Returns (id, n_paras, n_dup_paras, dup_frac, is_boilerplate) for every
+    input doc — docs with no qualifying paragraph get 0/0/0.0/false.
+
+    Scale shape: paragraph rows are generated CODEGEN-style (posexplode of
+    split + projected xxhash64 — no interpreted lambda, see decontam.py's
+    measured rationale); the duplicate-hash table aggregates map-side
+    partial on a uniform 64-bit key (never skewed); only hashes with
+    count > 1 survive to the broadcast-able join back, and the final
+    per-doc rollup shuffles one row per QUALIFYING paragraph, not per
+    byte.  Cross-partition by construction — a window would see only its
+    partition; the groupBy sees the corpus."""
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), r"\n[ \t\r\f]*\n+")).alias("para"),
+        )
+        .select("id", F.trim(F.col("para")).alias("para"))
+        .where(F.length("para") >= min_para_chars)
+        .select("id", F.xxhash64("para").alias("phash"))
+    )
+    counts = paras.groupBy("phash").agg(F.count(F.lit(1)).alias("pcnt"))
+    per_doc = (
+        paras.join(counts, "phash")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum((F.col("pcnt") > 1).cast("long")).alias("n_dup_paras"),
+        )
+    )
+    dup_frac = F.col("n_dup_paras") / F.greatest(F.col("n_paras"), F.lit(1)).cast(
+        "double"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_paras"), F.lit(0)).alias("n_paras"),
+            F.coalesce(F.col("n_dup_paras"), F.lit(0)).alias("n_dup_paras"),
+            F.coalesce(dup_frac, F.lit(0.0)).alias("dup_frac"),
+            (F.coalesce(dup_frac, F.lit(0.0)) > F.lit(float(max_dup_frac))).alias(
+                "is_boilerplate"
+            ),
+        )
+    )
+
+
+def duckdb_paragraph_dedup_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_para_chars: int = 30,
+    max_dup_frac: float = 0.5,
+) -> str:
+    """DuckDB twin of paragraph_dedup_flags.  Joins on the raw trimmed
+    paragraph text — the collision-free twin of the Spark side's xxhash64
+    (same equivalence as the minhash band oracles)."""
+    return f"""
+WITH paras AS (
+  SELECT {id_col} AS id, trim(p) AS para
+  FROM {table}, unnest(regexp_split_to_array({text_col},
+       '\\n[ \\t\\r\\f]*\\n+')) t(p)
+  WHERE length(trim(p)) >= {min_para_chars}
+), counts AS (
+  SELECT para, COUNT(*) AS pcnt FROM paras GROUP BY para
+), per_doc AS (
+  SELECT id, COUNT(*) AS n_paras,
+         SUM(CASE WHEN pcnt > 1 THEN 1 ELSE 0 END) AS n_dup_paras
+  FROM paras JOIN counts USING (para) GROUP BY id
+)
+SELECT d.{id_col} AS {id_col},
+       COALESCE(p.n_paras, 0) AS n_paras,
+       COALESCE(p.n_dup_paras, 0) AS n_dup_paras,
+       COALESCE(p.n_dup_paras / CAST(GREATEST(p.n_paras, 1) AS DOUBLE), 0.0)
+         AS dup_frac,
+       COALESCE(p.n_dup_paras / CAST(GREATEST(p.n_paras, 1) AS DOUBLE), 0.0)
+         > {max_dup_frac!r} AS is_boilerplate
+FROM {table} d LEFT JOIN per_doc p ON p.id = d.{id_col}
+"""

@@ -108,3 +108,74 @@ def test_incremental_minhash_history_bucket_cap_reported(spark):
     assert stats["dropped_buckets"] > 0
     # the mega-bucket was dropped → not flagged here (exact dedup owns it)
     assert out[0]["is_near_known"] is False
+
+
+# ---------------------------------------------------------- paragraph dedup
+
+
+def test_paragraph_dedup_flags_shared_paragraphs(spark):
+    from fast_langdetect_spark.operators.dedup import paragraph_dedup_flags
+
+    shared = "this license header paragraph is repeated across documents"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared}\n\nunique body of document one with plenty text"),
+            (2, f"{shared}\n\nanother totally different document body here"),
+            (3, "a single unique paragraph long enough to qualify easily"),
+            (4, f"{shared}"),  # 1 para, 100% duplicated
+            (5, "short\n\ntiny"),  # all paras under min length → zeros
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup_flags(docs, max_dup_frac=0.5).collect()}
+    assert out[1]["n_paras"] == 2 and out[1]["n_dup_paras"] == 1
+    assert out[1]["is_boilerplate"] is False          # 0.5 not > 0.5
+    assert out[3]["n_dup_paras"] == 0
+    assert out[4]["dup_frac"] == 1.0 and out[4]["is_boilerplate"] is True
+    assert out[5]["n_paras"] == 0 and out[5]["is_boilerplate"] is False
+
+
+def test_paragraph_dedup_blank_line_variants(spark):
+    """Separator tolerates whitespace-bearing blank lines (\\n \\t\\n)."""
+    from fast_langdetect_spark.operators.dedup import paragraph_dedup_flags
+
+    p1 = "first paragraph body long enough to pass the size filter"
+    p2 = "second paragraph body long enough to pass the size filter"
+    docs = spark.createDataFrame(
+        [(1, f"{p1}\n \t\n{p2}"), (2, f"{p1}\n\n\n{p2}")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup_flags(docs).collect()}
+    assert out[1]["n_paras"] == 2 and out[2]["n_paras"] == 2
+    # p1/p2 shared by both docs → everything duplicated
+    assert out[1]["n_dup_paras"] == 2 and out[2]["n_dup_paras"] == 2
+
+
+def test_paragraph_dedup_duckdb_twin(spark, tmp_path):
+    from fast_langdetect_spark.operators.dedup import (
+        duckdb_paragraph_dedup_sql,
+        paragraph_dedup_flags,
+    )
+    import duckdb
+
+    shared = "repeated license paragraph shared across several documents"
+    rows = [(i, f"{shared}\n\nbody {i} with sufficient unique length here")
+            for i in range(6)] + [(9, "only one unique paragraph that is long enough")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    pq = str(tmp_path / "pd.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+    got = sorted(
+        (r["doc_id"], r["n_paras"], r["n_dup_paras"], round(r["dup_frac"], 6),
+         r["is_boilerplate"])
+        for r in paragraph_dedup_flags(docs, max_dup_frac=0.4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW d AS SELECT * FROM '{pq}/*.parquet'")
+    want = sorted(
+        (r[0], r[1], r[2], round(r[3], 6), r[4])
+        for r in con.execute(
+            duckdb_paragraph_dedup_sql("d", max_dup_frac=0.4)
+        ).fetchall()
+    )
+    assert got == want
