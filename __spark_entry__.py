@@ -550,6 +550,35 @@ def _q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags
 
 
+def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL domain-blocklist flags (operators/blocklist.py): map-side URL
+    extraction + bounded parent-suffix explode + broadcast blocklist join.
+    The documents table has no URLs, so the query appends deterministic
+    ones (identically in the oracle): doc_id%4==1 gets a blocked domain,
+    %4==2 a clean one, %4==3 a blocked-by-parent subdomain plus a clean
+    one — exercising exact, miss, and suffix-match paths."""
+    from fast_langdetect_spark.operators.blocklist import blocklist_flags
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 1, F.lit(" see https://spam.example.com/x"))
+            .when(d % 4 == 2, F.lit(" via https://docs.python.org/3/"))
+            .when(
+                d % 4 == 3,
+                F.lit(" https://ads.tracker.net/p and https://docs.python.org/3/"),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    block = spark.createDataFrame(
+        [("example.com",), ("tracker.net",)], "domain string"
+    )
+    return blocklist_flags(aug, block)
+
+
 def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-granular boilerplate flags (operators/dedup.py
     paragraph_dedup_flags, CCNet/RefinedWeb recipe).  The documents table
@@ -745,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": _q_curation,
         "stream_dedup": _q_stream_dedup,
         "stream_near_dedup": _q_stream_near_dedup,
+        "blocklist": _q_blocklist,
         "paragraph_dedup": _q_paragraph_dedup,
         "semantic_dedup": _q_semantic_dedup,
         "pack_sequences": _q_pack_sequences,
@@ -1551,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_sequences": _pack_sequences_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
+        "blocklist": _blocklist_sql(),
         "incr_exact_dups": (
             "SELECT n.doc_id, sha256(n.text) AS content_sha256, "
             "EXISTS (SELECT 1 FROM documents h "
@@ -1564,6 +1595,22 @@ def oracle_sql() -> dict[str, str]:
     }
     base.update(_signature_cte_oracles())
     return base
+
+
+def _blocklist_sql() -> str:
+    from fast_langdetect_spark.operators.blocklist import duckdb_blocklist_sql
+
+    aug = """(SELECT doc_id,
+      text || CASE doc_id % 4
+        WHEN 1 THEN ' see https://spam.example.com/x'
+        WHEN 2 THEN ' via https://docs.python.org/3/'
+        WHEN 3 THEN ' https://ads.tracker.net/p and https://docs.python.org/3/'
+        ELSE '' END AS text
+    FROM documents)"""
+    return duckdb_blocklist_sql(
+        aug,
+        "SELECT 'example.com' AS domain UNION ALL SELECT 'tracker.net'",
+    )
 
 
 def _paragraph_dedup_sql() -> str:

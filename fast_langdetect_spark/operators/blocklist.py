@@ -1,0 +1,127 @@
+"""URL extraction + domain-blocklist filtering (public recipe: every web
+corpus pipeline — C4, RefinedWeb, FineWeb — drops documents whose source
+URL or embedded links hit a domain blocklist).
+
+Spark-first shape:
+
+  * URL/domain extraction is pure-map regexp (codegen; the URL pattern is
+    RE2/Java-portable — no lookaround, see operators/regex_compat.py
+    conventions).
+  * The blocklist joins BROADCAST (blocklists are thousands-to-millions of
+    rows — MBs); the corpus never shuffles.  Subdomain matching is handled
+    by exploding each extracted domain into its ≤ ``max_labels`` parent
+    suffixes ("a.b.example.com" → itself, "b.example.com", "example.com")
+    — a bounded explode, so "ads.example.com" matches a blocklist entry
+    "example.com" with a plain equi-join instead of an unjoinable LIKE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://host[:port][/path] — host captured; RE2/Java-compatible, ASCII
+URL_RE = r"https?://([A-Za-z0-9._-]+)"
+
+
+def extract_domains_col(text_col: str = "text", *, lowercase: bool = True) -> Column:
+    """array<string> of distinct URL host names appearing in ``text_col``."""
+    hosts = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 1)
+    if lowercase:
+        hosts = F.transform(hosts, lambda h: F.lower(h))
+    return F.array_distinct(hosts)
+
+
+def _suffixes(domain: Column, max_labels: int) -> Column:
+    """All dot-suffixes of a domain with ≥2 labels, up to ``max_labels``
+    deep: "a.b.example.com" → [a.b.example.com, b.example.com, example.com].
+    Tiny bounded arrays — the lambda cost is per-domain, not per-byte."""
+    parts = F.split(domain, r"\.")
+    n = F.size(parts)
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.least(n - 2, F.lit(max_labels - 1))),
+            lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+        ),
+        lambda s: s != F.lit(""),
+    )
+
+
+def blocklist_flags(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_labels: int = 5,
+) -> DataFrame:
+    """Flag documents containing a URL whose domain (or any parent domain)
+    appears in ``blocklist`` (a one-column ``domain`` DataFrame, lowercase).
+
+    Returns (id, n_urls, n_blocked, is_blocked) for every input doc.
+
+    Plan: map-side extract + bounded suffix explode → broadcast inner join
+    with the blocklist → count per doc on the HIT rows only → left join
+    back (AQE-broadcastable).  The corpus never shuffles."""
+    base = docs.select(
+        F.col(id_col), extract_domains_col(text_col).alias("__doms")
+    )
+    cand = base.select(
+        id_col, F.explode("__doms").alias("domain0")
+    ).select(
+        id_col,
+        "domain0",
+        F.explode(_suffixes(F.col("domain0"), max_labels)).alias("domain"),
+    )
+    hits = (
+        cand.join(F.broadcast(blocklist.select("domain")), "domain")
+        .groupBy(id_col)
+        .agg(F.count_distinct("domain0").alias("n_blocked"))
+    )
+    return (
+        base.select(F.col(id_col), F.size("__doms").alias("n_urls"))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_urls",
+            F.coalesce(F.col("n_blocked"), F.lit(0)).alias("n_blocked"),
+            (F.coalesce(F.col("n_blocked"), F.lit(0)) > 0).alias("is_blocked"),
+        )
+    )
+
+
+def duckdb_blocklist_sql(
+    table: str = "documents",
+    blocklist_sql: str = "SELECT 'example.com' AS domain",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_labels: int = 5,
+) -> str:
+    """DuckDB twin of blocklist_flags (same URL regex — RE2 and Java agree
+    on this pattern; same suffix expansion and distinct-domain counting)."""
+    return f"""
+WITH block AS ({blocklist_sql}),
+base AS (
+  SELECT {id_col} AS id,
+         list_distinct(list_transform(
+           regexp_extract_all({text_col}, 'https?://([A-Za-z0-9._-]+)', 1),
+           h -> lower(h))) AS doms
+  FROM {table}
+), cand AS (
+  SELECT id, d0,
+         unnest(list_filter(list_transform(
+           generate_series(0, least(len(string_split(d0, '.')) - 2,
+                                    {max_labels - 1})),
+           i -> array_to_string(string_split(d0, '.')[i+1:], '.')),
+           s -> s <> '')) AS domain
+  FROM (SELECT id, unnest(doms) AS d0 FROM base)
+), hits AS (
+  SELECT id, COUNT(DISTINCT d0) AS n_blocked
+  FROM cand JOIN block USING (domain) GROUP BY id
+)
+SELECT b.id AS {id_col}, len(b.doms) AS n_urls,
+       COALESCE(h.n_blocked, 0) AS n_blocked,
+       COALESCE(h.n_blocked, 0) > 0 AS is_blocked
+FROM base b LEFT JOIN hits h ON h.id = b.id
+"""

@@ -1,0 +1,85 @@
+"""URL extraction + domain-blocklist filtering."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark.operators.blocklist import (
+    blocklist_flags,
+    duckdb_blocklist_sql,
+    extract_domains_col,
+)
+
+
+def _block(spark):
+    return spark.createDataFrame([("example.com",), ("bad.net",)], "domain string")
+
+
+def test_extract_domains_distinct_lowercase(spark):
+    df = spark.createDataFrame(
+        [(1, "x https://A.Example.COM/p http://a.example.com/q plain text")],
+        "doc_id int, text string",
+    )
+    row = df.select(extract_domains_col("text").alias("d")).first()
+    assert row["d"] == ["a.example.com"]
+
+
+def test_blocklist_exact_subdomain_and_miss(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://example.com/page"),           # exact match
+            (2, "see https://ads.sub.example.com/p"),      # parent-suffix match
+            (3, "see https://docs.python.org/3/"),         # miss
+            (4, "no urls at all in this document"),        # none
+            (5, "https://bad.net/a https://example.com/b https://ok.org/c"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_flags(docs, _block(spark)).collect()}
+    assert out[1]["is_blocked"] is True and out[1]["n_blocked"] == 1
+    assert out[2]["is_blocked"] is True
+    assert out[3]["is_blocked"] is False and out[3]["n_urls"] == 1
+    assert out[4] ["is_blocked"] is False and out[4]["n_urls"] == 0
+    assert out[5]["n_blocked"] == 2 and out[5]["n_urls"] == 3
+
+
+def test_blocklist_no_reverse_suffix_match(spark):
+    """A blocklist entry must NOT block a LONGER registered name that merely
+    ends with the same labels string-wise ("notexample.com") or a domain
+    whose suffix only partially overlaps."""
+    docs = spark.createDataFrame(
+        [(1, "https://notexample.com/x"), (2, "https://example.com.evil.org/y")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_flags(docs, _block(spark)).collect()}
+    assert out[1]["is_blocked"] is False
+    # example.com.evil.org: suffixes are *.evil.org chains — never example.com
+    assert out[2]["is_blocked"] is False
+
+
+def test_blocklist_duckdb_twin(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "a https://spam.example.com/x b"),
+            (2, "c https://docs.python.org/3/ d"),
+            (3, "e https://bad.net/1 https://also.bad.net/2 f"),
+            (4, "plain"),
+        ],
+        "doc_id int, text string",
+    )
+    pq = str(tmp_path / "bl.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+    got = sorted(map(tuple, blocklist_flags(docs, _block(spark)).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW d AS SELECT * FROM '{pq}/*.parquet'")
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                duckdb_blocklist_sql(
+                    "d",
+                    "SELECT 'example.com' AS domain UNION ALL SELECT 'bad.net'",
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want
