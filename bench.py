@@ -364,6 +364,11 @@ def main() -> None:
         canaries[name] = best[5]
 
     total = round(sum(timings.values()), 3)
+    # curation_extras joined the headline set in round 4, so the total is
+    # not comparable to BENCH_r03 (4 queries); this key carries the
+    # same-basket subtotal for round-over-round comparison
+    r03_basket = ("pipeline_corpus", "langid_docs", "quality_native", "scrub_docs")
+    comparable = round(sum(timings[q] for q in r03_basket if q in timings), 3)
     print(
         json.dumps(
             {
@@ -371,6 +376,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r03_comparable_sec": comparable,
                 "sf": sf_val,
                 "cpus": cpus,
                 "rows": rows,

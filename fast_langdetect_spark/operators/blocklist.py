@@ -60,34 +60,53 @@ def blocklist_flags(
 
     Returns (id, n_urls, n_blocked, is_blocked) for every input doc.
 
-    Plan: map-side extract + bounded suffix explode → broadcast inner join
-    with the blocklist → count per doc on the HIT rows only → left join
-    back (AQE-broadcastable).  The corpus never shuffles."""
+    Plan: map-side extract + bounded suffix explode → broadcast LEFT join
+    with the hit-marked blocklist → ONE groupBy(doc) over the URL-bearing
+    docs only (count_distinct of hit domains; narrow columns) → shuffle-free
+    union with the zero-URL docs.  The corpus text never shuffles and there
+    is no join-back: an earlier groupBy-hits + left-join-back shape planned
+    a corpus-wide Exchange + SortMergeJoin for the join-back, which at
+    10^12 rows is a ~16 TB shuffle of (id, n_urls) for nothing."""
     base = docs.select(
         F.col(id_col), extract_domains_col(text_col).alias("__doms")
     )
-    cand = base.select(
-        id_col, F.explode("__doms").alias("domain0")
+    n = F.size("__doms")
+    # null text → null extract array → null n_urls (matches the DuckDB twin)
+    no_urls = base.filter(F.coalesce(n, F.lit(0)) <= 0).select(
+        F.col(id_col),
+        n.alias("n_urls"),
+        F.lit(0).cast("long").alias("n_blocked"),
+        F.lit(False).alias("is_blocked"),
+    )
+    cand = base.filter(n > 0).select(
+        id_col, n.alias("n_urls"), F.explode("__doms").alias("domain0")
     ).select(
         id_col,
+        "n_urls",
         "domain0",
         F.explode(_suffixes(F.col("domain0"), max_labels)).alias("domain"),
     )
-    hits = (
-        cand.join(F.broadcast(blocklist.select("domain")), "domain")
-        .groupBy(id_col)
-        .agg(F.count_distinct("domain0").alias("n_blocked"))
+    marked = cand.join(
+        F.broadcast(blocklist.select("domain").withColumn("__hit", F.lit(True))),
+        "domain",
+        "left",
     )
-    return (
-        base.select(F.col(id_col), F.size("__doms").alias("n_urls"))
-        .join(hits, id_col, "left")
+    with_urls = (
+        marked.groupBy(id_col)
+        .agg(
+            F.max("n_urls").alias("n_urls"),
+            F.count_distinct(
+                F.when(F.col("__hit"), F.col("domain0"))
+            ).alias("n_blocked"),
+        )
         .select(
             F.col(id_col),
             "n_urls",
-            F.coalesce(F.col("n_blocked"), F.lit(0)).alias("n_blocked"),
-            (F.coalesce(F.col("n_blocked"), F.lit(0)) > 0).alias("is_blocked"),
+            "n_blocked",
+            (F.col("n_blocked") > 0).alias("is_blocked"),
         )
     )
+    return with_urls.unionByName(no_urls)
 
 
 def duckdb_blocklist_sql(

@@ -119,6 +119,21 @@ def test_incremental_exact_no_window_partial_distinct(spark):
     assert "HashAggregate" in plan  # the map-side-partial distinct
 
 
+def test_blocklist_broadcasts_and_never_shuffles_corpus(spark):
+    """The blocklist side broadcasts (blocklists are MBs); the corpus text
+    never shuffles (the only exchanges carry narrow (id, domain) rows for
+    the per-doc distinct count — no SortMergeJoin join-back), and
+    extraction/suffix expansion is pure Catalyst — no Python stage."""
+    from fast_langdetect_spark.operators.blocklist import blocklist_flags
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    block = spark.createDataFrame([("example.com",)], "domain string")
+    plan = _plan(blocklist_flags(docs, block))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_pack_sequences_single_bucket_window(spark):
     """Exactly one window (the per-bucket cumsum); the explode must stay
     map-side (no extra exchange between window and output)."""
