@@ -555,8 +555,10 @@ def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction + bounded parent-suffix explode + broadcast blocklist join.
     The documents table has no URLs, so the query appends deterministic
     ones (identically in the oracle): doc_id%4==1 gets a blocked domain,
-    %4==2 a clean one, %4==3 a blocked-by-parent subdomain plus a clean
-    one — exercising exact, miss, and suffix-match paths."""
+    %4==2 a clean one plus a single-label host (suffix-less — the
+    sequence-guard/explode_outer regression path), %4==3 a blocked-by-
+    parent subdomain plus a clean one — exercising exact, miss,
+    suffix-match, and single-label paths."""
     from fast_langdetect_spark.operators.blocklist import blocklist_flags
 
     d = F.col("doc_id")
@@ -565,7 +567,10 @@ def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("text"),
             F.when(d % 4 == 1, F.lit(" see https://spam.example.com/x"))
-            .when(d % 4 == 2, F.lit(" via https://docs.python.org/3/"))
+            .when(
+                d % 4 == 2,
+                F.lit(" via https://docs.python.org/3/ http://localhost:8080/a"),
+            )
             .when(
                 d % 4 == 3,
                 F.lit(" https://ads.tracker.net/p and https://docs.python.org/3/"),
@@ -1603,7 +1608,7 @@ def _blocklist_sql() -> str:
     aug = """(SELECT doc_id,
       text || CASE doc_id % 4
         WHEN 1 THEN ' see https://spam.example.com/x'
-        WHEN 2 THEN ' via https://docs.python.org/3/'
+        WHEN 2 THEN ' via https://docs.python.org/3/ http://localhost:8080/a'
         WHEN 3 THEN ' https://ads.tracker.net/p and https://docs.python.org/3/'
         ELSE '' END AS text
     FROM documents)"""

@@ -35,12 +35,21 @@ def extract_domains_col(text_col: str = "text", *, lowercase: bool = True) -> Co
 def _suffixes(domain: Column, max_labels: int) -> Column:
     """All dot-suffixes of a domain with ≥2 labels, up to ``max_labels``
     deep: "a.b.example.com" → [a.b.example.com, b.example.com, example.com].
+    Single-label hosts ("localhost", "intranet") yield an EMPTY array —
+    blocklists hold registrable domains (≥2 labels), and F.sequence counts
+    DOWN for stop < start (the n=1 case: sequence(0,-1) = [0,-1], whose
+    i=-1 makes F.slice throw), hence the explicit guard — the same trap
+    ngram_keys_col guards in operators/decontam.py.  The DuckDB twin's
+    generate_series(0,-1) is empty, so the guard IS the parity.
     Tiny bounded arrays — the lambda cost is per-domain, not per-byte."""
     parts = F.split(domain, r"\.")
     n = F.size(parts)
+    idx = F.when(
+        n >= 2, F.sequence(F.lit(0), F.least(n - 2, F.lit(max_labels - 1)))
+    ).otherwise(F.expr("array()").cast("array<int>"))
     return F.filter(
         F.transform(
-            F.sequence(F.lit(0), F.least(n - 2, F.lit(max_labels - 1))),
+            idx,
             lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
         ),
         lambda s: s != F.lit(""),
@@ -84,7 +93,11 @@ def blocklist_flags(
         id_col,
         "n_urls",
         "domain0",
-        F.explode(_suffixes(F.col("domain0"), max_labels)).alias("domain"),
+        # explode_OUTER: a doc whose only URL host is single-label has an
+        # empty suffix array; a plain explode would drop it from the output
+        # entirely (it already passed the n > 0 filter, so it is not in
+        # no_urls either).  The null-domain row join-misses and counts 0.
+        F.explode_outer(_suffixes(F.col("domain0"), max_labels)).alias("domain"),
     )
     marked = cand.join(
         F.broadcast(blocklist.select("domain").withColumn("__hit", F.lit(True))),

@@ -10,14 +10,14 @@ part of the LLM-training-pipeline extension surface (SURVEY §2 extras).
 Spark-first shape, and why it holds at 100 TB:
 
   * The corpus NEVER shuffles on its own size.  Doc n-grams are generated
-    map-side with native Catalyst array functions (split → slice → sha2) —
-    no explode of the corpus is ever shuffled.
+    map-side with native Catalyst array functions (split → slice →
+    xxhash64) — no explode of the corpus is ever shuffled.
   * The benchmark n-gram set is tiny relative to the corpus (benchmarks are
     MBs; corpora are TBs), so the hit-detection join is an explicit
     ``broadcast()`` hash join: corpus partitions stream past an in-memory
     hash set.  If a pathological benchmark outgrows broadcast, drop the
-    hint and the same plan degrades to a shuffle equi-join on the 16-hex
-    gram key (uniform by construction — sha2 output — so never skewed).
+    hint and the same plan degrades to a shuffle equi-join on the int64
+    gram key (uniform by construction — xxhash64 output — so never skewed).
   * Only HITS are aggregated: the inner join emits one row per (doc,
     benchmark-gram) match, typically a vanishing fraction of the corpus.
     The groupBy and the join back onto the corpus are sized by the hit set;
@@ -256,8 +256,8 @@ def decontaminate_map_side(
     watermark needed).
 
     This is the production streaming-ingest shape: benchmark sets are MBs
-    (a few million 16-hex keys ≈ tens of MB pickled), well inside executor
-    broadcast budgets.  If a benchmark ever outgrows that, fall back to
+    (a few million int64 keys ≈ tens of MB as a pickled frozenset), well
+    inside executor broadcast budgets.  If a benchmark ever outgrows that, fall back to
     the batch join form on micro-batches via foreachBatch.
 
     ``bench_keys`` is the collected ``gram_key`` column of
@@ -265,12 +265,14 @@ def decontaminate_map_side(
     keys = frozenset(bench_keys)
     grams = ngram_keys_col(text_col, n)
 
-    @pandas_udf("int")
+    # "long", not "int": the batch form's count_distinct yields bigint, and
+    # "same output schema" must hold for the documented foreachBatch swap
+    @pandas_udf("long")
     def _hits(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batches:
             yield s.apply(
                 lambda arr: sum(1 for g in arr if g in keys)
-            ).astype("int32")
+            ).astype("int64")
 
     hits = _hits(grams)
     return docs.select(

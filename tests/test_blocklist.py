@@ -56,6 +56,27 @@ def test_blocklist_no_reverse_suffix_match(spark):
     assert out[2]["is_blocked"] is False
 
 
+def test_blocklist_single_label_hosts(spark):
+    """Regression: a single-label host ("localhost") crashed _suffixes —
+    F.sequence(0, n-2) counts DOWN for n=1 and the resulting i=-1 makes
+    F.slice throw INVALID_PARAMETER_VALUE.START — and once guarded to an
+    empty suffix array, a plain (inner) explode silently dropped any doc
+    whose ONLY URL host is single-label.  Such hosts never match (the
+    blocklist holds registrable ≥2-label domains); the doc must survive."""
+    docs = spark.createDataFrame(
+        [
+            (1, "http://localhost/admin only"),
+            (2, "http://intranet:8080/x and https://bad.net/y"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_flags(docs, _block(spark)).collect()}
+    assert out[1]["n_urls"] == 1 and out[1]["n_blocked"] == 0
+    assert out[1]["is_blocked"] is False
+    assert out[2]["n_urls"] == 2 and out[2]["n_blocked"] == 1
+    assert out[2]["is_blocked"] is True
+
+
 def test_blocklist_duckdb_twin(spark, tmp_path):
     docs = spark.createDataFrame(
         [
@@ -63,6 +84,8 @@ def test_blocklist_duckdb_twin(spark, tmp_path):
             (2, "c https://docs.python.org/3/ d"),
             (3, "e https://bad.net/1 https://also.bad.net/2 f"),
             (4, "plain"),
+            (5, "g http://localhost/only h"),
+            (6, "i http://intranet/x https://spam.example.com/y j"),
         ],
         "doc_id int, text string",
     )
