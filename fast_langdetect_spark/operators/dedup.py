@@ -469,15 +469,30 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     shingle_k: int = 4,
     max_bucket_size: int = 500,
+    stats_out: Optional[dict] = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any pair
     within distance max_hamming shares at least one exact chunk, so the
     candidate join is an equi-join on (chunk_idx, chunk_value).
+
+    Chunk buckets over ``max_bucket_size`` are dropped before the self-join;
+    pass ``stats_out`` to account for them (same opt-in lazy-composition
+    contract as similarity.cosine_near_pairs — with ``stats_out=None`` the
+    plan stays fully lazy and the drop is unreported).
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
+
+    def _cval(i: int):
+        # max_hamming=0 → one 64-bit chunk: the full signature, no mask
+        # ((1 << 64) - 1 does not fit a BIGINT literal) and no shift
+        col = F.shiftrightunsigned("sim", i * chunk_bits) if i else F.col("sim")
+        if chunk_bits < 64:
+            col = col.bitwiseAND(F.lit((1 << chunk_bits) - 1))
+        return col
+
     udf = simhash_udf(shingle_k)
     sigs = df.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("sim"))
     chunks = sigs.select(
@@ -486,18 +501,16 @@ def simhash_near_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned("sim", i * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("cval"),
-                    )
+                    F.struct(F.lit(i).alias("chunk"), _cval(i).alias("cval"))
                     for i in range(n_chunks)
                 ]
             )
         ).alias("cc"),
     ).select("id", "sim", F.col("cc.chunk").alias("chunk"), F.col("cc.cval").alias("cval"))
     sizes = chunks.groupBy("chunk", "cval").agg(F.count(F.lit(1)).alias("bsz"))
+    from fast_langdetect_spark.operators.similarity import _report_dropped_buckets
+
+    _report_dropped_buckets(sizes, max_bucket_size, stats_out, "simhash_near_pairs")
     chunks = chunks.join(sizes.where(F.col("bsz") <= max_bucket_size), ["chunk", "cval"])
     ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
     return (
@@ -534,11 +547,16 @@ def incremental_exact_flags(
     deployment the history sha set is a persisted table bucketed by
     content_sha256, so only the new batch (the small side, relative to an
     accumulated history) shuffles — pass that table here directly with a
-    ``content_sha256`` column and ``text_col=None``."""
-    new_sha = new_df.select(
-        F.col(id_col).alias("id"),
-        F.sha2(F.col(text_col), 256).alias("content_sha256"),
-    )
+    ``content_sha256`` column and ``text_col=None``.  With
+    ``text_col=None`` BOTH sides must already carry ``content_sha256``
+    (pre-hashed ingest batches against the persisted sha table)."""
+    if text_col is not None:
+        new_sha = new_df.select(
+            F.col(id_col).alias("id"),
+            F.sha2(F.col(text_col), 256).alias("content_sha256"),
+        )
+    else:
+        new_sha = new_df.select(F.col(id_col).alias("id"), "content_sha256")
     if text_col is not None and text_col in history_df.columns:
         hist = history_df.select(F.sha2(F.col(text_col), 256).alias("content_sha256"))
     else:

@@ -156,6 +156,11 @@ def brute_force_pairs(
     dim = len(head[0])
     band_bits = n_bits // n_bands
     udf = srp_signature_udf(dim, n_bits, seed)
+    # NULL embeddings have no cosine to anything: drop them BEFORE the
+    # signature UDF (np.asarray on a batch containing None raises and kills
+    # the task).  The exact=True path excludes them the same way — a null
+    # vec yields a null cosine, filtered by the threshold predicate.
+    df = df.where(F.col(vec_col).isNotNull())
     bands = (
         df.select(
             F.col(id_col).alias("id"),
@@ -302,7 +307,12 @@ def train_coarse_centroids(
     spherical k-means on it.  The DEFAULT rank key is sha256(id) —
     content-addressed, deterministic, uniform over the corpus regardless
     of id layout (VERDICT r03 #1); "prefix" (raw-id rank) is retained only
-    for the recall-regression comparison test."""
+    for the recall-regression comparison test.
+
+    Rows with NULL embeddings are excluded; returns ``None`` when no
+    trainable (non-null) rows exist — callers early-return an empty
+    result with the right schema (the brute_force_pairs convention)."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     if sample_strategy == "hash":
         rank = [F.sha2(F.col(id_col).cast("string"), 256), F.col(id_col)]
     elif sample_strategy == "prefix":
@@ -316,6 +326,8 @@ def train_coarse_centroids(
         .toPandas()[vec_col]
         .tolist()
     )
+    if not sample_rows:  # empty / all-NULL corpus: nothing to train on
+        return None
     return _spherical_kmeans(
         np.asarray(sample_rows, dtype=np.float32), n_clusters, seed=seed
     )
@@ -355,10 +367,22 @@ def ivf_topk(
     equi-join on cluster id — candidates ≈ |corpus|·n_probe/n_clusters per
     query instead of |corpus|.
     """
+    # NULL embeddings: not assignable to a cell, not searchable — excluded
+    # on both sides before any pandas UDF sees them (None in an Arrow batch
+    # would kill the task inside np.asarray)
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     cent = train_coarse_centroids(
         corpus, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters,
         train_sample=train_sample, seed=seed, sample_strategy=sample_strategy,
     )
+    if cent is None:  # empty corpus → no neighbors; keep the output schema
+        return queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(id_col).alias("c_id"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).alias("rank"),
+        ).where(F.lit(False))
     assign = ivf_assign_udf(cent)
     c = corpus.select(
         F.col(id_col).alias("c_id"),
@@ -457,6 +481,8 @@ def srp_lsh_topk(
     udf = srp_signature_udf(dim, n_bits, seed)
 
     def with_bands(df: DataFrame, prefix: str) -> DataFrame:
+        # NULL embeddings would kill the signature UDF's np.asarray
+        df = df.where(F.col(vec_col).isNotNull())
         sigs = df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_vec"),
@@ -526,8 +552,10 @@ def semantic_dedup(
     survives — deterministic, no iterative component search needed: within
     a near-dup group the smallest id keeps, everything else drops).
 
-    Returns (id, cell, max_prior_cosine, is_semantic_dup) for EVERY input
-    row; ``max_prior_cosine`` is the best cosine to any smaller-id cell
+    Returns (id, cell, max_prior_cosine, is_semantic_dup) for every input
+    row with a NON-NULL embedding (a row with nothing to embed has no
+    semantic identity to dedup on — route such rows through exact/MinHash
+    dedup); ``max_prior_cosine`` is the best cosine to any smaller-id cell
     member (0.0 when none).
 
     Scale shape: centroid training is one bounded driver-side sample
@@ -539,10 +567,18 @@ def semantic_dedup(
     pairwise stage and REPORTED via ``stats_out`` — exact/MinHash dedup
     owns those clusters, exactly like the LSH bucket caps in dedup.py.
     The flags join back is AQE-broadcastable (hits ≪ corpus)."""
+    df = df.where(F.col(vec_col).isNotNull())
     cent = train_coarse_centroids(
         df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters,
         train_sample=train_sample, seed=seed,
     )
+    if cent is None:  # empty / all-NULL input: empty result, right schema
+        return df.select(
+            F.col(id_col),
+            F.lit(0).alias("cell"),
+            F.lit(0.0).alias("max_prior_cosine"),
+            F.lit(False).alias("is_semantic_dup"),
+        ).where(F.lit(False))
     assign = ivf_assign_udf(cent)
     # persist: the assignment UDF feeds the size aggregation and BOTH sides
     # of the within-cell self-join — without the cache it would re-run the

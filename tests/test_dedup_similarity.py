@@ -465,3 +465,88 @@ def test_semantic_dedup_mega_cell_cap_reported(spark):
     # dropped cell → nothing flagged here (exact dedup owns near-identical)
     assert all(not r["is_semantic_dup"] for r in out)
     assert len(out) == 30
+
+
+def test_null_embeddings_excluded_not_crash(spark):
+    """Regression: a NULL embedding row killed the SRP/IVF pandas UDFs
+    (np.asarray over a batch containing None) on the DEFAULT approximate
+    paths, while exact=True handled it.  NULL-vector rows are excluded —
+    they have no cosine to anything."""
+    from fast_langdetect_spark.operators.similarity import (
+        ivf_topk,
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0, 0.0]),
+        (2, None),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = brute_force_pairs(df, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+    topk = srp_lsh_topk(df, df, dim=4, k=2, n_bands=8).collect()
+    assert topk and all(r["q_id"] != 2 and r["c_id"] != 2 for r in topk)
+
+    itopk = ivf_topk(df, df, k=2, n_clusters=2, train_sample=10).collect()
+    assert itopk and all(r["q_id"] != 2 and r["c_id"] != 2 for r in itopk)
+
+    sem = semantic_dedup(df, threshold=0.9, n_clusters=1).collect()
+    assert {r["vec_id"] for r in sem} == {0, 1, 3}
+
+
+def test_ann_empty_and_all_null_corpus(spark):
+    """Empty / all-NULL corpora: IVF and SemDeDup return empty results with
+    the right schema instead of crashing centroid training (np.linalg.norm
+    AxisError on a 0-row sample) — the brute_force_pairs convention."""
+    from fast_langdetect_spark.operators.similarity import (
+        ivf_topk,
+        semantic_dedup,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    for corpus in (empty, nulls):
+        out = ivf_topk(corpus, queries, k=3, n_clusters=2)
+        assert out.columns == ["q_id", "c_id", "cosine", "rank"]
+        assert out.count() == 0
+        sd = semantic_dedup(corpus, threshold=0.9)
+        assert sd.columns == [
+            "vec_id", "cell", "max_prior_cosine", "is_semantic_dup"
+        ]
+        assert sd.count() == 0
+
+
+def test_simhash_exact_match_and_drop_reporting(spark):
+    """max_hamming=0 is one 64-bit chunk — the full signature, no mask
+    ((1 << 64) - 1 overflows a BIGINT literal; regression) — and simhash
+    now honors the same opt-in stats_out drop-accounting contract as
+    cosine_near_pairs."""
+    rows = [(i, "identical boilerplate text repeated everywhere") for i in range(30)]
+    rows += [(100, "one genuinely different document about rivers and forests")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats: dict = {}
+    pairs = simhash_near_pairs(
+        df, max_hamming=0, max_bucket_size=10, stats_out=stats
+    )
+    assert pairs.count() == 0  # the identical cluster blows the bucket cap
+    assert stats["dropped_buckets"] == 1
+    assert stats["dropped_bucket_rows"] == 30
+
+    small = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"), (1, "alpha beta gamma delta epsilon"),
+         (2, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    got = simhash_near_pairs(small, max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1)}
+    assert all(r["hamming"] == 0 for r in got)

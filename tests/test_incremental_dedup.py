@@ -35,6 +35,20 @@ def test_incremental_exact_accepts_precomputed_sha_table(spark):
     assert out == {10: True, 11: False}
 
 
+def test_incremental_exact_text_col_none_prehashed_both_sides(spark):
+    """Regression: the docstring's ``text_col=None`` deployment usage
+    (pre-hashed ingest batch vs the persisted sha table) crashed — the new
+    side unconditionally hashed F.col(None).  With text_col=None BOTH
+    sides carry content_sha256 directly."""
+    hist = spark.createDataFrame([("aa",), ("bb",)], "content_sha256 string")
+    new = spark.createDataFrame(
+        [(10, "aa"), (11, "zz")], "doc_id int, content_sha256 string"
+    )
+    out = {r["doc_id"]: r["is_known_dup"] for r in
+           incremental_exact_flags(new, hist, text_col=None).collect()}
+    assert out == {10: True, 11: False}
+
+
 def _corpus(spark):
     base = "the quick brown fox jumps over the lazy dog again and again "
     rows = [
