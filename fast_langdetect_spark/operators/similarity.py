@@ -37,12 +37,13 @@ def _report_dropped_buckets(
     """Cap accounting for the similarity operators: when the caller passes
     ``stats_out`` one small eager aggregation counts the buckets/rows the
     cap excluded, logs a warning if any, and fills ``{"dropped_buckets": n,
-    "dropped_bucket_rows": n}``.  With ``stats_out=None`` the plan stays
-    FULLY LAZY — this deliberately differs from dedup.minhash_lsh_pairs,
-    which is always-eager (it must release its persisted signature cache)
-    and therefore warns unconditionally; the similarity paths keep lazy
-    composition and make drop accounting opt-in (degenerate buckets are
-    near-identical vectors already caught by exact/embedding dedup)."""
+    "dropped_bucket_rows": n}``.  With ``stats_out=None`` this helper adds
+    no action of its own; drop accounting is opt-in (degenerate buckets are
+    near-identical vectors already caught by exact/embedding dedup).
+    cosine_near_pairs and srp_lsh_topk are themselves eager regardless
+    (they must release their persisted signature cache — the
+    dedup.minhash_lsh_pairs contract); dedup.simhash_near_pairs stays
+    fully lazy when ``stats_out=None``."""
     if stats_out is None:
         return
     dropped = (
@@ -130,6 +131,15 @@ def brute_force_pairs(
     small eager aggregation).  Also exported as ``cosine_near_pairs`` — the
     truthful name for the default approximate path.
 
+    The default path is EAGER (the minhash_lsh_pairs contract): the
+    signature-UDF stage feeds the bucket-size aggregate, the cap join, and
+    both sides of the self-join — four corpus-wide matmul passes when left
+    lazy (no common-subplan reuse across those consumers; measured, not
+    guessed) — so the bands are persisted, the small pairs result is
+    materialized via localCheckpoint, and the cache is released before
+    returning.  One UDF pass total; the returned DataFrame composes
+    downstream as usual.
+
     ``exact=True`` keeps the all-pairs ``id_a < id_b`` form — a non-equi
     nested-loop join, O(n²): tests and small inputs only.
     """
@@ -186,12 +196,16 @@ def brute_force_pairs(
         )
         .select("id", "vec", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
     )
+    # persist: the signature UDF feeds the size aggregate, the cap join,
+    # and BOTH self-join sides — 4 corpus-wide matmul passes uncached (the
+    # executed plan shows 4 ArrowEvalPython stages and no ReusedExchange)
+    bands = bands.persist()
     sizes = bands.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("bsz"))
     _report_dropped_buckets(sizes, max_bucket_size, stats_out, "cosine_near_pairs")
-    bands = bands.join(sizes.where(F.col("bsz") <= max_bucket_size), ["band", "bval"])
+    capped = bands.join(sizes.where(F.col("bsz") <= max_bucket_size), ["band", "bval"])
     cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bval"])
+        capped.alias("a")
+        .join(capped.alias("b"), ["band", "bval"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
@@ -201,10 +215,15 @@ def brute_force_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    out = (
         cand.select("id_a", "id_b", _cosine("vec_a", "vec_b").alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+    # materialize the (small) pairs result, then release the bands cache —
+    # the minhash_lsh_pairs shape: one UDF pass, no persist leak
+    out = out.localCheckpoint(eager=True)
+    bands.unpersist()
+    return out
 
 
 # the honest name for the default (SRP-LSH-approximate) path; kept as an
@@ -509,25 +528,34 @@ def srp_lsh_topk(
             F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"),
         )
 
-    cb = with_bands(corpus, "c")
+    # persist the CORPUS bands: the signature UDF otherwise re-runs for the
+    # bucket-size aggregate and the cap join (3 corpus passes measured, no
+    # exchange reuse).  Query bands are evaluated once — no persist.
+    cb = with_bands(corpus, "c").persist()
     qb = with_bands(queries, "q")
     csizes = cb.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("bsz"))
     _report_dropped_buckets(csizes, max_bucket_size, stats_out, "srp_lsh_topk")
-    cb = cb.join(
+    capped = cb.join(
         csizes.where(F.col("bsz") <= max_bucket_size), ["band", "bval"]
     ).drop("bsz")
     cand = (
-        cb.join(qb, ["band", "bval"])
+        capped.join(qb, ["band", "bval"])
         .where(F.col("q_id") != F.col("c_id"))
         .select("q_id", "q_vec", "c_id", "c_vec")
         .dropDuplicates(["q_id", "c_id"])
     )
     scored = cand.select("q_id", "c_id", _cosine("q_vec", "c_vec").alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
+    )
+    # materialize the (|queries|·k)-row result, release the corpus cache
+    out = out.localCheckpoint(eager=True)
+    cb.unpersist()
+    return (
+        out
     )
 
 
