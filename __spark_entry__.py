@@ -748,6 +748,64 @@ def _q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("u", 9).alias("u_r"), "keep")
 
 
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition rules (operators/repetition.py, Rae et al.
+    2112.11446 table A1).  The synthetic docs are mostly non-repetitive, so
+    the query deterministically appends repeated phrases to a third of them
+    (identically in the oracle) — every dup/top path and the clamp are
+    exercised and the threshold flag splits the corpus."""
+    from fast_langdetect_spark.operators.repetition import (
+        DUP_NGRAM_THRESHOLDS,
+        TOP_NGRAM_THRESHOLDS,
+        gopher_repetition,
+    )
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.lit(" lorem ipsum dolor sit amet" * 4),
+            )
+            .when(d % 7 == 1, F.lit(" spam spam spam spam spam spam"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = gopher_repetition(aug)
+    frac_cols = [f"top_{n}gram_char_frac" for n in sorted(TOP_NGRAM_THRESHOLDS)] + [
+        f"dup_{n}gram_char_frac" for n in sorted(DUP_NGRAM_THRESHOLDS)
+    ]
+    return out.select(
+        "doc_id",
+        *[F.round(c, 6).alias(f"{c}_r") for c in frac_cols],
+        "is_repetitive",
+    )
+
+
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode punctuation folding / control stripping (operators/
+    normalize.py).  Deterministic augmentation injects curly quotes,
+    ellipses, zero-widths, NBSP and a control char (identically in the
+    oracle via chr() codes) so every fold/delete path fires."""
+    from fast_langdetect_spark.operators.normalize import with_normalized_text
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 0, F.lit(" \u201cq\u201d \u2014 x"))
+            .when(d % 4 == 1, F.lit(" a\u2026b\u200bc"))
+            .when(d % 4 == 2, F.lit(" n\u00a0m\x07t\u00ad!"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = with_normalized_text(aug, collapse_ws=True)
+    return out.select("doc_id", "norm_text", "was_normalized")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "langid_top1": _q_langid_top1,
@@ -788,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "domain_mixture": _q_domain_mixture,
         "mixture_resample": _q_mixture_resample,
+        "gopher_repetition": _q_gopher_repetition,
+        "normalize_text": _q_normalize_text,
     }
 
 
@@ -1597,9 +1657,53 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontam_sql(),
         "domain_mixture": _mixture_sql(),
         "mixture_resample": _resample_sql(),
+        "gopher_repetition": _repetition_sql(),
+        "normalize_text": _normalize_sql(),
     }
     base.update(_signature_cte_oracles())
     return base
+
+
+def _repetition_sql() -> str:
+    from fast_langdetect_spark.operators.repetition import (
+        DUP_NGRAM_THRESHOLDS,
+        TOP_NGRAM_THRESHOLDS,
+        duckdb_repetition_sql,
+    )
+
+    phrase = " lorem ipsum dolor sit amet" * 4
+    aug = f"""(SELECT doc_id,
+      text || CASE
+        WHEN doc_id % 3 = 0 THEN '{phrase}'
+        WHEN doc_id % 7 = 1 THEN ' spam spam spam spam spam spam'
+        ELSE '' END AS text
+    FROM documents)"""
+    inner = duckdb_repetition_sql(aug)
+    frac_cols = [
+        f"top_{n}gram_char_frac" for n in sorted(TOP_NGRAM_THRESHOLDS)
+    ] + [f"dup_{n}gram_char_frac" for n in sorted(DUP_NGRAM_THRESHOLDS)]
+    rounded = ", ".join(f"round({c}, 6) AS {c}_r" for c in frac_cols)
+    return f"SELECT doc_id, {rounded}, is_repetitive FROM ({inner})"
+
+
+def _normalize_sql() -> str:
+    from fast_langdetect_spark.operators.normalize import duckdb_normalize_sql
+
+    # chr() codes mirror the \\u escapes in _q_normalize_text exactly
+    aug = """(SELECT doc_id,
+      text || CASE
+        WHEN doc_id % 4 = 0 THEN ' ' || chr(8220) || 'q' || chr(8221)
+          || ' ' || chr(8212) || ' x'
+        WHEN doc_id % 4 = 1 THEN ' a' || chr(8230) || 'b' || chr(8203) || 'c'
+        WHEN doc_id % 4 = 2 THEN ' n' || chr(160) || 'm' || chr(7) || 't'
+          || chr(173) || '!'
+        ELSE '' END AS text
+    FROM documents)"""
+    norm = duckdb_normalize_sql("text", collapse_ws=True)
+    return (
+        f"SELECT doc_id, {norm} AS norm_text, "
+        f"{norm} <> text AS was_normalized FROM {aug} aug"
+    )
 
 
 def _blocklist_sql() -> str:

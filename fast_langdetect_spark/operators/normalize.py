@@ -1,0 +1,97 @@
+"""Deterministic text normalization (unicode punctuation folding, zero-width
+and control stripping, optional whitespace collapse) — 100% codegen.
+
+Standard web-corpus cleanup (CCNet/ftfy-adjacent, public recipes): fold the
+unicode punctuation look-alikes LLM-corpus text is full of (curly quotes,
+en/em dashes, NBSP variants) to their ASCII forms, delete zero-width/ BOM/
+soft-hyphen characters, and strip C0 control characters other than
+``\\t \\n \\r``.  Everything is one ``replace`` + one ``translate`` + one
+``regexp_replace`` — a pure map that fuses into WholeStageCodegen, no
+shuffle, no Python.  The reference repo normalizes only newlines/truncation
+(infer.py preprocessing, covered by core/preprocess.py); this operator is a
+training-data-pipeline extra per the task brief.
+
+All three implementations (Spark Catalyst, DuckDB twin, Python golden) share
+the constants below and apply steps in the SAME order:
+
+1. ``…`` (U+2026) -> ``...``      (1→3 chars: replace, not translate)
+2. translate: fold quotes/dashes/spaces, delete zero-widths (``_FOLD``)
+3. regexp_replace: delete C0 controls except tab/newline/CR (``CONTROL_RE``)
+4. (opt-in ``collapse_ws``) interior runs of 2+ spaces/tabs -> one space —
+   anchor- and group-free so Java/RE2/Python agree; OFF by default because
+   collapsing whitespace is destructive for code corpora.
+
+Characters kept BMP-only so Java's UTF-16 ``translate`` and DuckDB/Python
+codepoint translates agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fold source -> destination, 1:1 by position (translate semantics); the
+# tail of _FOLD_SRC beyond len(_FOLD_DST) is DELETED by translate in Spark,
+# DuckDB and Python alike.
+_QUOTES = "\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u201f\u00ab\u00bb"
+_DASHES = "\u2012\u2013\u2014\u2212"
+_SPACES = "\u00a0\u2007\u202f\u3000"
+_DELETE = "\u200b\u200c\u200d\ufeff\u00ad"  # zero-widths, BOM, soft hyphen
+FOLD_SRC = _QUOTES + _DASHES + _SPACES + _DELETE
+FOLD_DST = "''''" + '""""""' + "----" + "    "
+ELLIPSIS = "…"
+# C0 controls minus \t\n\r, plus DEL — identical in Java, RE2 and Python
+CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+COLLAPSE_RE = r"[ \t]{2,}"  # interior runs only: no anchors, no groups
+
+
+def normalize_text_column(col: Column, *, collapse_ws: bool = False) -> Column:
+    out = F.regexp_replace(
+        F.translate(F.replace(col, F.lit(ELLIPSIS), F.lit("...")), FOLD_SRC, FOLD_DST),
+        CONTROL_RE,
+        "",
+    )
+    if collapse_ws:
+        out = F.regexp_replace(out, COLLAPSE_RE, " ")
+    return out
+
+
+def with_normalized_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    collapse_ws: bool = False,
+) -> DataFrame:
+    norm = normalize_text_column(F.col(text_col), collapse_ws=collapse_ws)
+    return df.withColumns(
+        {out_col: norm, "was_normalized": norm != F.col(text_col)}
+    )
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def duckdb_normalize_sql(text_expr: str, *, collapse_ws: bool = False) -> str:
+    """DuckDB twin of :func:`normalize_text_column` (same constants/order)."""
+    out = (
+        f"regexp_replace(translate(replace({text_expr}, {_sql_lit(ELLIPSIS)}, "
+        f"'...'), {_sql_lit(FOLD_SRC)}, {_sql_lit(FOLD_DST)}), "
+        f"{_sql_lit(CONTROL_RE)}, '', 'g')"
+    )
+    if collapse_ws:
+        out = f"regexp_replace({out}, {_sql_lit(COLLAPSE_RE)}, ' ', 'g')"
+    return out
+
+
+def golden_normalize(text: str, *, collapse_ws: bool = False) -> str:
+    """Scalar Python golden for tests (same constants, independent code)."""
+    import re
+
+    table = {ord(s): (FOLD_DST[i] if i < len(FOLD_DST) else None) for i, s in enumerate(FOLD_SRC)}
+    out = text.replace(ELLIPSIS, "...").translate(table)
+    out = re.sub(CONTROL_RE, "", out)
+    if collapse_ws:
+        out = re.sub(COLLAPSE_RE, " ", out)
+    return out

@@ -1,0 +1,279 @@
+"""Gopher-style within-document n-gram repetition metrics — one shuffle.
+
+Rae et al. (arXiv:2112.11446, table A1) filter web documents whose
+characters are dominated by a single frequent n-gram (n in 2..4) or by
+duplicated longer n-grams (n in 5..10).  The reference repo has no such
+operator (it is a language-ID library); this is part of the task brief's
+training-data-pipeline extras, alongside `operators/quality.py` which
+covers the Gopher *line*-level rules.
+
+Definitions (documented deviations from the paper, mirrored exactly in the
+DuckDB twin so the driver oracle is rows+schema+hash):
+
+- tokens: the repo-wide explicit ASCII whitespace split ``[ \\t\\r\\n\\f]+``
+  (empty tokens dropped); ``total_chars`` = sum of token lengths — i.e.
+  non-whitespace characters, the denominator for every fraction.
+- ``top_{n}gram_char_frac``: max over n-grams of
+  ``count * gram_chars / total_chars`` — the n-gram COVERING the most
+  characters.  The paper takes the MOST FREQUENT n-gram; ties there are
+  unspecified (Python ``Counter`` order), which is non-deterministic under
+  distributed aggregation.  The covering variant is deterministic, equals
+  the paper's value whenever the most frequent n-gram is unique, and is
+  what we threshold.
+- ``dup_{n}gram_char_frac``: sum over n-grams occurring more than once of
+  ``count * gram_chars / total_chars``, clamped to 1.0.  Public
+  re-implementations (e.g. DataTrove) mark character POSITIONS to avoid
+  double-counting overlapping grams; the count-weighted form is an upper
+  bound of that, exactly mirrorable in SQL, and monotone in repetition.
+  ``gram_chars`` excludes the joining spaces (= length(gram) - (n-1)).
+
+Plan shape (pinned by tests/test_plan_shapes.py): posexplode(split) is a
+codegen Generate — NO higher-order lambdas in the per-token path (an
+F.transform gram builder runs interpreted at ~15 us/element; see
+operators/decontam.py for the measured lesson).  All gram sizes are built
+in ONE pass from lead() columns over a single Window partitioned by the
+document id, and every downstream groupBy keys on a superset of {id}, so
+HashPartitioning(id) satisfies their ClusteredDistribution and Catalyst
+plans NO further exchange: the whole metric tree is one shuffle, plus the
+document-side exchange of the final join-back.  Skew: ids are unique, so
+the shuffle is uniform; a pathological single multi-GB document serializes
+one task (cap upstream via max_line_len / n_chars rules first).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Gopher table A1 thresholds (fraction ABOVE which the doc is filtered).
+TOP_NGRAM_THRESHOLDS: dict[int, float] = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_THRESHOLDS: dict[int, float] = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+_TOKEN_SPLIT = "[ \t\r\n\f]+"  # repo-wide Java/RE2/Python-ASCII-safe class
+
+
+def gopher_repetition(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_thresholds: Mapping[int, float] = TOP_NGRAM_THRESHOLDS,
+    dup_thresholds: Mapping[int, float] = DUP_NGRAM_THRESHOLDS,
+) -> DataFrame:
+    """Per-document n-gram repetition fractions + ``is_repetitive`` flag.
+
+    Returns one row per input row: ``id_col``, ``top_{n}gram_char_frac``
+    for each key of *top_thresholds*, ``dup_{n}gram_char_frac`` for each
+    key of *dup_thresholds*, and ``is_repetitive`` (any fraction strictly
+    above its threshold).  Documents with fewer than n tokens contribute
+    no n-grams and score 0.0 for that n.
+    """
+    top_ns = sorted(top_thresholds)
+    dup_ns = sorted(dup_thresholds)
+    all_ns = sorted({*top_ns, *dup_ns})
+    if not all_ns or min(all_ns) < 2:
+        raise ValueError("n-gram sizes must be >= 2")
+    max_n = max(all_ns)
+
+    did = F.col(id_col)
+    toks = (
+        df.select(did.alias("_id"), F.posexplode(F.split(F.col(text_col), _TOKEN_SPLIT)).alias("_pos", "_tok"))
+        .where(F.col("_tok") != "")
+    )
+    w_ord = Window.partitionBy("_id").orderBy("_pos")
+    w_all = Window.partitionBy("_id")
+    lead_cols = {f"_t{i}": F.lead("_tok", i).over(w_ord) for i in range(1, max_n)}
+    toks = toks.withColumns({"_total": F.sum(F.length("_tok")).over(w_all), **lead_cols})
+
+    def gram(n: int) -> Column:
+        parts = [F.col("_tok")] + [F.col(f"_t{i}") for i in range(1, n)]
+        # concat_ws silently skips NULLs — gate on the last lead instead
+        return F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts))
+
+    gram_structs = F.array(
+        *[F.struct(F.lit(n).alias("_n"), gram(n).alias("_gram")) for n in all_ns]
+    )
+    grams = (
+        toks.select("_id", "_total", F.explode(gram_structs).alias("_g"))
+        .select("_id", "_total", F.col("_g._n").alias("_n"), F.col("_g._gram").alias("_gram"))
+        .where(F.col("_gram").isNotNull())
+    )
+    counts = grams.groupBy("_id", "_n", "_gram").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        # functionally dependent on the key — max() just carries them through
+        F.max(F.length("_gram") - (F.col("_n") - F.lit(1))).alias("_gchars"),
+        F.max("_total").alias("_total"),
+    )
+    cov = F.col("_cnt") * F.col("_gchars").cast("long")
+    per_n = counts.groupBy("_id", "_n").agg(
+        F.max(cov).alias("_top_cov"),
+        F.sum(F.when(F.col("_cnt") > 1, cov)).alias("_dup_cov"),
+        F.max("_total").alias("_total"),
+    )
+    total = F.greatest(F.col("_total"), F.lit(1)).cast("double")
+    frac = lambda c: F.least(F.coalesce(c, F.lit(0)).cast("double") / total, F.lit(1.0))  # noqa: E731
+    per_doc = (
+        per_n.groupBy("_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("_n") == n, frac(F.col("_top_cov")))).alias(f"_top{n}")
+                for n in top_ns
+            ],
+            *[
+                F.max(F.when(F.col("_n") == n, frac(F.col("_dup_cov")))).alias(f"_dup{n}")
+                for n in dup_ns
+            ],
+        )
+    )
+    out_cols = {
+        **{f"top_{n}gram_char_frac": F.coalesce(F.col(f"_top{n}"), F.lit(0.0)) for n in top_ns},
+        **{f"dup_{n}gram_char_frac": F.coalesce(F.col(f"_dup{n}"), F.lit(0.0)) for n in dup_ns},
+    }
+    joined = df.select(did).join(per_doc, did == F.col("_id"), "left")
+    flag: Column = F.lit(False)
+    for n in top_ns:
+        flag = flag | (out_cols[f"top_{n}gram_char_frac"] > float(top_thresholds[n]))
+    for n in dup_ns:
+        flag = flag | (out_cols[f"dup_{n}gram_char_frac"] > float(dup_thresholds[n]))
+    return joined.select(
+        did,
+        *[c.alias(a) for a, c in out_cols.items()],
+        flag.alias("is_repetitive"),
+    )
+
+
+def duckdb_repetition_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_thresholds: Mapping[int, float] = TOP_NGRAM_THRESHOLDS,
+    dup_thresholds: Mapping[int, float] = DUP_NGRAM_THRESHOLDS,
+) -> str:
+    """DuckDB twin of :func:`gopher_repetition` (same deviations, same
+    clamps; joins on the raw gram text like the Spark side)."""
+    top_ns = sorted(top_thresholds)
+    dup_ns = sorted(dup_thresholds)
+    all_ns = sorted({*top_ns, *dup_ns})
+    max_n = max(all_ns)
+    leads = ",\n         ".join(
+        f"lead(tok, {i}) OVER w AS t{i}" for i in range(1, max_n)
+    )
+
+    def gram_sql(n: int) -> str:
+        parts = " || ' ' || ".join(["tok"] + [f"t{i}" for i in range(1, n)])
+        return (
+            f"SELECT id, total_chars, {n} AS n, "
+            f"CASE WHEN t{n - 1} IS NOT NULL THEN {parts} END AS gram FROM leads"
+        )
+
+    grams_union = "\n    UNION ALL\n    ".join(gram_sql(n) for n in all_ns)
+    frac = (
+        "least(coalesce({cov}, 0) / CAST(greatest(total, 1) AS DOUBLE), 1.0)"
+    )
+    top_cases = ",\n         ".join(
+        "max(CASE WHEN n = {n} THEN {f} END) AS top_{n}".format(
+            n=n, f=frac.format(cov="top_cov")
+        )
+        for n in top_ns
+    )
+    dup_cases = ",\n         ".join(
+        "max(CASE WHEN n = {n} THEN {f} END) AS dup_{n}".format(
+            n=n, f=frac.format(cov="dup_cov")
+        )
+        for n in dup_ns
+    )
+    out_fracs = ",\n       ".join(
+        [f"coalesce(p.top_{n}, 0.0) AS top_{n}gram_char_frac" for n in top_ns]
+        + [f"coalesce(p.dup_{n}, 0.0) AS dup_{n}gram_char_frac" for n in dup_ns]
+    )
+    flag_terms = " OR ".join(
+        [f"coalesce(p.top_{n}, 0.0) > {float(top_thresholds[n])!r}" for n in top_ns]
+        + [f"coalesce(p.dup_{n}, 0.0) > {float(dup_thresholds[n])!r}" for n in dup_ns]
+    )
+    return f"""
+WITH toklists AS (
+  SELECT {id_col} AS id,
+         list_filter(regexp_split_to_array({text_col},
+                     '[ \t\r\n\f]+'), x -> x <> '') AS toks
+  FROM {table}
+), toks AS (
+  SELECT id, pos, tok,
+         SUM(length(tok)) OVER (PARTITION BY id) AS total_chars
+  FROM (SELECT id, unnest(toks) AS tok,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM toklists)
+), leads AS (
+  SELECT id, total_chars, tok,
+         {leads}
+  FROM toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+), grams AS (
+  SELECT id, total_chars, n, gram, length(gram) - (n - 1) AS gram_chars
+  FROM (
+    {grams_union}
+  ) WHERE gram IS NOT NULL
+), counts AS (
+  SELECT id, n, gram, COUNT(*) AS cnt,
+         MAX(gram_chars) AS gram_chars, MAX(total_chars) AS total
+  FROM grams GROUP BY id, n, gram
+), per_n AS (
+  SELECT id, n,
+         MAX(cnt * gram_chars) AS top_cov,
+         SUM(CASE WHEN cnt > 1 THEN cnt * gram_chars END) AS dup_cov,
+         MAX(total) AS total
+  FROM counts GROUP BY id, n
+), per_doc AS (
+  SELECT id,
+         {top_cases},
+         {dup_cases}
+  FROM per_n GROUP BY id
+)
+SELECT d.{id_col} AS {id_col},
+       {out_fracs},
+       ({flag_terms}) AS is_repetitive
+FROM {table} d LEFT JOIN per_doc p ON p.id = d.{id_col}
+"""
+
+
+def golden_repetition(
+    text: str,
+    *,
+    top_thresholds: Mapping[int, float] = TOP_NGRAM_THRESHOLDS,
+    dup_thresholds: Mapping[int, float] = DUP_NGRAM_THRESHOLDS,
+) -> dict[str, float | bool]:
+    """Scalar Python golden for tests (same definitions, independent code)."""
+    import re
+    from collections import Counter
+
+    toks = [t for t in re.split("[ \t\r\n\f]+", text, flags=re.ASCII) if t]
+    total = max(sum(len(t) for t in toks), 1)
+    out: dict[str, float | bool] = {}
+    rep = False
+    for kind, thresholds in (("top", top_thresholds), ("dup", dup_thresholds)):
+        for n in sorted(thresholds):
+            counts = Counter(tuple(toks[i : i + n]) for i in range(len(toks) - n + 1))
+            if kind == "top":
+                cov = max(
+                    (c * sum(len(t) for t in g) for g, c in counts.items()),
+                    default=0,
+                )
+            else:
+                cov = sum(
+                    c * sum(len(t) for t in g) for g, c in counts.items() if c > 1
+                )
+            val = min(cov / total, 1.0)
+            out[f"{kind}_{n}gram_char_frac"] = val
+            rep = rep or val > thresholds[n]
+    out["is_repetitive"] = rep
+    return out
+
+
+def ngram_sizes(
+    top_thresholds: Mapping[int, float] = TOP_NGRAM_THRESHOLDS,
+    dup_thresholds: Mapping[int, float] = DUP_NGRAM_THRESHOLDS,
+) -> Sequence[int]:
+    return sorted({*top_thresholds, *dup_thresholds})

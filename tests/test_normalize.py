@@ -1,0 +1,102 @@
+"""Text normalization: Spark ≡ DuckDB twin ≡ Python golden, plus a no-shuffle
+plan guard (pure map must stay a single codegen Project over the scan)."""
+
+import random
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark.operators.normalize import (
+    CONTROL_RE,
+    ELLIPSIS,
+    FOLD_DST,
+    FOLD_SRC,
+    duckdb_normalize_sql,
+    golden_normalize,
+    normalize_text_column,
+    with_normalized_text,
+)
+
+CASES = [
+    "",
+    "plain ascii stays put",
+    "“Hi” — café… a​b c\x01d",
+    "quote: ’ and «» and '' mixed",
+    "nb sp　wide thin",
+    "ctrl\x00\x07\x0b keep\t\n\r end\x7f",
+    "e……llipses",
+    "soft­hyphen and BOM﻿",
+    "collapse   \t  me  not-by-default",
+    "文字 CJK untouched ‘quoted’",
+]
+
+
+def test_fold_tables_aligned():
+    assert len(FOLD_SRC) > len(FOLD_DST)  # the tail is the delete set
+    assert all(ord(c) < 0x10000 for c in FOLD_SRC + FOLD_DST + ELLIPSIS)
+
+
+def _assert_engines(spark, texts, collapse_ws):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i", normalize_text_column(F.col("t"), collapse_ws=collapse_ws).alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({"i": range(len(texts)), "t": texts}))
+    duck = dict(
+        con.sql(
+            f"SELECT i, {duckdb_normalize_sql('t', collapse_ws=collapse_ws)} FROM d"
+        ).fetchall()
+    )
+    for i, t in enumerate(texts):
+        gold = golden_normalize(t, collapse_ws=collapse_ws)
+        assert got[i] == gold == duck[i], (collapse_ws, i, repr(t))
+
+
+def test_hand_cases_all_engines_agree(spark):
+    _assert_engines(spark, CASES, collapse_ws=False)
+    _assert_engines(spark, CASES, collapse_ws=True)
+
+
+def test_fuzz_engines_agree(spark):
+    rng = random.Random(20260817)
+    pool = (
+        list(FOLD_SRC)
+        + [ELLIPSIS, "\x00", "\x07", "\x0b", "\x7f", "\t", "\n", "\r"]
+        + list("abc XY9.!文й")
+    )
+    texts = ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 60))) for _ in range(60)]
+    _assert_engines(spark, texts, collapse_ws=False)
+    _assert_engines(spark, texts, collapse_ws=True)
+
+
+def test_with_normalized_text_flag(spark):
+    df = spark.createDataFrame(
+        [(0, "plain"), (1, "“q”")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in with_normalized_text(df).collect()}
+    assert rows[0]["norm_text"] == "plain" and not rows[0]["was_normalized"]
+    assert rows[1]["norm_text"] == '"q"' and rows[1]["was_normalized"]
+
+
+def test_plan_is_pure_map(spark):
+    df = spark.range(10).select(F.col("id").cast("string").alias("text"))
+    plan = (
+        with_normalized_text(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_control_re_spares_tab_newline_cr():
+    import re
+
+    kept = "\t\n\r"
+    assert not re.search(CONTROL_RE, kept)
+    assert re.fullmatch(CONTROL_RE, "\x0b")

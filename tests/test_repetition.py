@@ -1,0 +1,126 @@
+"""Gopher n-gram repetition metrics: Spark ≡ DuckDB twin ≡ Python golden,
+hand-checked fixtures, degenerate inputs, and the one-shuffle plan shape."""
+
+import random
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark.operators.repetition import (
+    DUP_NGRAM_THRESHOLDS,
+    TOP_NGRAM_THRESHOLDS,
+    duckdb_repetition_sql,
+    golden_repetition,
+    gopher_repetition,
+)
+
+CASES = [
+    "",                                   # no tokens at all
+    "one",                                # fewer tokens than any n
+    "a b",                                # exactly one 2-gram
+    "spam spam spam spam spam spam",      # one token repeated: clamp paths
+    "a b a b a b a b c d e f g h",        # dominant 2-gram, mixed tail
+    "x " * 12 + "y z w v u t s r q p o",  # long run + unique tail
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # all unique
+    "the cat sat on the mat the cat sat on the mat extra words here now",
+    "\tweird\n\nwhitespace\f mix \r\n of  separators \x0b kept",
+]
+
+
+def _spark_rows(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = gopher_repetition(df)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def _duck_rows(texts):
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(enumerate(texts), columns=["doc_id", "text"])
+    )
+    rows = con.sql(duckdb_repetition_sql()).fetchdf().to_dict("records")
+    return {r["doc_id"]: r for r in rows}
+
+
+def _assert_all_engines(spark, texts):
+    got = _spark_rows(spark, texts)
+    duck = _duck_rows(texts)
+    cols = [f"top_{n}gram_char_frac" for n in sorted(TOP_NGRAM_THRESHOLDS)] + [
+        f"dup_{n}gram_char_frac" for n in sorted(DUP_NGRAM_THRESHOLDS)
+    ]
+    for i, t in enumerate(texts):
+        gold = golden_repetition(t)
+        for c in cols:
+            assert abs(got[i][c] - gold[c]) < 1e-12, (i, c, got[i][c], gold[c], t)
+            assert abs(duck[i][c] - gold[c]) < 1e-12, (i, c, duck[i][c], gold[c], t)
+        assert bool(got[i]["is_repetitive"]) == gold["is_repetitive"] == bool(
+            duck[i]["is_repetitive"]
+        ), (i, t)
+
+
+def test_hand_cases_all_engines_agree(spark):
+    _assert_all_engines(spark, CASES)
+
+
+def test_known_values(spark):
+    # "a b a b a b a b c d e f g h": 14 tokens, total_chars=14.
+    # 2-gram "a b" occurs 4x ("b a" 3x), gram_chars=2 -> top_2 = 8/14.
+    got = _spark_rows(spark, ["a b a b a b a b c d e f g h"])[0]
+    assert abs(got["top_2gram_char_frac"] - 8 / 14) < 1e-12
+    # dup 5-grams: "a b a b a" x2 + "b a b a b" x2 -> cov 20/14 -> clamped
+    assert got["dup_5gram_char_frac"] == 1.0
+    assert got["is_repetitive"]
+
+
+def test_degenerate_docs_score_zero(spark):
+    got = _spark_rows(spark, ["", "one", "   \t  "])
+    for i in range(3):
+        assert not got[i]["is_repetitive"]
+        assert all(
+            v == 0.0 for k, v in got[i].items() if k.endswith("_char_frac")
+        ), got[i]
+
+
+def test_fuzz_engines_agree(spark):
+    rng = random.Random(20260817)
+    vocab = ["foo", "ba", "x", "longertoken", "句", "mix3d", "-", "a.b"]
+    texts = []
+    for _ in range(40):
+        n = rng.randrange(0, 40)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if toks and rng.random() < 0.5:  # inject a repeated phrase
+            phrase = toks[: rng.randrange(1, min(6, len(toks)) + 1)]
+            for _ in range(rng.randrange(1, 4)):
+                pos = rng.randrange(0, len(toks) + 1)
+                toks[pos:pos] = phrase
+        sep = lambda: rng.choice([" ", "  ", "\t", "\n", " \r\n "])  # noqa: E731
+        texts.append(sep().join(toks))
+    _assert_all_engines(spark, texts)
+
+
+def test_custom_thresholds_and_missing_n(spark):
+    df = spark.createDataFrame([(0, "a a a a b")], "doc_id long, text string")
+    out = gopher_repetition(
+        df, top_thresholds={2: 0.9}, dup_thresholds={3: 0.1}
+    ).collect()[0]
+    assert set(out.asDict()) == {
+        "doc_id", "top_2gram_char_frac", "dup_3gram_char_frac", "is_repetitive"
+    }
+    # "a a" 3x covers 6/5 -> clamp 1.0 > 0.9 would flag, but threshold via dup:
+    assert out["top_2gram_char_frac"] == 1.0
+    assert out["is_repetitive"]
+
+
+def test_plan_shape_single_metric_shuffle(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    plan = gopher_repetition(df)._jdf.queryExecution().executedPlan().toString()
+    # one exchange for the token window; one for the doc side of the
+    # join-back; every groupBy reuses HashPartitioning(_id) (subset rule)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
