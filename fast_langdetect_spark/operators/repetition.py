@@ -27,24 +27,26 @@ DuckDB twin so the driver oracle is rows+schema+hash):
   bound of that, exactly mirrorable in SQL, and monotone in repetition.
   ``gram_chars`` excludes the joining spaces (= length(gram) - (n-1)).
 
-Plan shape (pinned by tests/test_plan_shapes.py): posexplode(split) is a
+Plan shape (pinned by tests/test_repetition.py): posexplode(split) is a
 codegen Generate — NO higher-order lambdas in the per-token path (an
 F.transform gram builder runs interpreted at ~15 us/element; see
-operators/decontam.py for the measured lesson).  All gram sizes are built
-in ONE pass from lead() columns over a single Window partitioned by the
-document id, and every downstream groupBy keys on a superset of {id}, so
-HashPartitioning(id) satisfies their ClusteredDistribution and Catalyst
-plans NO further exchange: the whole metric tree is one shuffle, plus the
-document-side exchange of the final join-back.  Skew: ids are unique, so
-the shuffle is uniform; a pathological single multi-GB document serializes
-one task (cap upstream via max_line_len / n_chars rules first).
+operators/decontam.py for the measured lesson).  The ONLY metric shuffle
+is a repartition of the COMPACT doc rows by id; grams for all sizes are
+then built map-side by indexing into the doc's token array (F.get) —
+no lead() window, so the ~300x-larger token/gram row sets are never
+shuffled or sorted — and every downstream groupBy keys on a superset of
+{id}, so HashPartitioning(id) satisfies their ClusteredDistribution and
+Catalyst plans NO further exchange (plus the document-side exchange of
+the final join-back).  Skew: ids are unique, so the shuffle is uniform; a
+pathological single multi-GB document serializes one task (cap upstream
+via max_line_len / n_chars rules first).
 """
 
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Gopher table A1 thresholds (fraction ABOVE which the doc is filtered).
@@ -71,6 +73,12 @@ def gopher_repetition(
     key of *dup_thresholds*, and ``is_repetitive`` (any fraction strictly
     above its threshold).  Documents with fewer than n tokens contribute
     no n-grams and score 0.0 for that n.
+
+    ``id_col`` MUST be unique per document (same precondition as
+    exact_duplicates): rows sharing an id have their gram counts MERGED,
+    inflating dup fractions for both (measured on the bench corpus, whose
+    planted exact-dup files shifted the flag count ~4% under a shared
+    content-derived id).
     """
     top_ns = sorted(top_thresholds)
     dup_ns = sorted(dup_thresholds)
@@ -80,32 +88,55 @@ def gopher_repetition(
     max_n = max(all_ns)
 
     did = F.col(id_col)
-    toks = (
-        df.select(did.alias("_id"), F.posexplode(F.split(F.col(text_col), _TOKEN_SPLIT)).alias("_pos", "_tok"))
-        .where(F.col("_tok") != "")
+    # leading/trailing separators would otherwise split() into ''-tokens at
+    # the array ENDS (interior empties are impossible — the + collapses
+    # runs); trimming them lets array indexing equal token adjacency below
+    clean = F.regexp_replace(
+        F.col(text_col), f"^{_TOKEN_SPLIT[:-1]}+|{_TOKEN_SPLIT[:-1]}+$", ""
     )
-    w_ord = Window.partitionBy("_id").orderBy("_pos")
-    w_all = Window.partitionBy("_id")
-    lead_cols = {f"_t{i}": F.lead("_tok", i).over(w_ord) for i in range(1, max_n)}
-    toks = toks.withColumns({"_total": F.sum(F.length("_tok")).over(w_all), **lead_cols})
+    base = df.select(
+        did.alias("_id"),
+        F.split(clean, _TOKEN_SPLIT).alias("_toks"),
+        # == sum of token lengths: every non-separator char is in a token
+        F.length(F.regexp_replace(F.col(text_col), _TOKEN_SPLIT[:-1], "")).alias("_total"),
+    ).repartition(F.col("_id"))
+    toks = base.select(
+        "_id", "_total", "_toks", F.posexplode("_toks").alias("_pos", "_tok")
+    ).where(F.col("_tok") != "")
 
-    def gram(n: int) -> Column:
-        parts = [F.col("_tok")] + [F.col(f"_t{i}") for i in range(1, n)]
-        # concat_ws silently skips NULLs — gate on the last lead instead
-        return F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts))
+    # Grams are built MAP-SIDE from the doc's token array (F.get — NULL,
+    # not ANSI error, past the end) and aggregated by xxhash64 over the
+    # token COLUMNS — never as a concatenated string and never through a
+    # window.  Measured on the 500k-file bench corpus: concatenated gram
+    # strings OOMed the hash aggregate (~1e9 rows), and a lead()-window
+    # formulation shuffles + SORTS all ~1.5e8 token rows; this shape
+    # shuffles only the compact doc rows (repartition above), after which
+    # every groupBy reuses HashPartitioning(_id) via the subset rule.
+    # Per-column hashing is concat-unambiguous (("ab","c") != ("a","bc")),
+    # lit(n) separates gram sizes, and collisions only matter WITHIN one
+    # (doc, n) group — 64-bit birthday bound ~1e-8 even at 1e6 grams/doc.
+    # The DuckDB twin groups by the raw gram text: the collision-free twin,
+    # same equivalence argument as the minhash band oracles.
+    def gram_struct(n: int) -> Column:
+        parts = [F.col("_tok")] + [
+            F.get("_toks", F.col("_pos") + i) for i in range(1, n)
+        ]
+        gchars = sum((F.length(p) for p in parts[1:]), F.length(parts[0]))
+        return F.struct(
+            F.lit(n).alias("_n"),
+            F.when(parts[-1].isNotNull(), F.xxhash64(F.lit(n), *parts)).alias("_ghash"),
+            gchars.alias("_gchars"),
+        )
 
-    gram_structs = F.array(
-        *[F.struct(F.lit(n).alias("_n"), gram(n).alias("_gram")) for n in all_ns]
-    )
     grams = (
-        toks.select("_id", "_total", F.explode(gram_structs).alias("_g"))
-        .select("_id", "_total", F.col("_g._n").alias("_n"), F.col("_g._gram").alias("_gram"))
-        .where(F.col("_gram").isNotNull())
+        toks.select("_id", "_total", F.explode(F.array(*[gram_struct(n) for n in all_ns])).alias("_g"))
+        .select("_id", "_total", "_g._n", "_g._ghash", "_g._gchars")
+        .where(F.col("_ghash").isNotNull())
     )
-    counts = grams.groupBy("_id", "_n", "_gram").agg(
+    counts = grams.groupBy("_id", "_n", "_ghash").agg(
         F.count(F.lit(1)).alias("_cnt"),
         # functionally dependent on the key — max() just carries them through
-        F.max(F.length("_gram") - (F.col("_n") - F.lit(1))).alias("_gchars"),
+        F.max("_gchars").alias("_gchars"),
         F.max("_total").alias("_total"),
     )
     cov = F.col("_cnt") * F.col("_gchars").cast("long")
