@@ -806,6 +806,42 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "norm_text", "was_normalized")
 
 
+def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (operators/spans.py, Lee et
+    al. 2107.06499 exact-substring dedup family).  Every 5th doc gains the
+    same license-ish block (cross-doc shared spans); every 7th-mod-1 doc
+    gains a trailer made unique by its own doc_id (must NOT count) —
+    replicated exactly in the oracle."""
+    from fast_langdetect_spark.operators.spans import repeated_span_flags
+
+    d = F.col("doc_id")
+    block = (
+        " this block of license text is repeated verbatim across many files"
+    )
+    aug = _docs(spark, sf_dir).select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.when(d % 5 == 0, F.lit(block))
+            .when(
+                d % 7 == 1,
+                F.concat(
+                    F.lit(" unique trailer "),
+                    d.cast("string"),
+                    F.lit(" tail tokens here"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = repeated_span_flags(aug, n_tokens=6, max_shared_frac=0.1)
+    return out.select(
+        "doc_id", "n_tokens", "n_grams", "n_shared_grams", "covered_tokens",
+        F.round("shared_token_frac", 6).alias("shared_frac_r"),
+        "has_shared_span",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "langid_top1": _q_langid_top1,
@@ -848,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": _q_mixture_resample,
         "gopher_repetition": _q_gopher_repetition,
         "normalize_text": _q_normalize_text,
+        "repeated_spans": _q_repeated_spans,
     }
 
 
@@ -1659,9 +1696,31 @@ def oracle_sql() -> dict[str, str]:
         "mixture_resample": _resample_sql(),
         "gopher_repetition": _repetition_sql(),
         "normalize_text": _normalize_sql(),
+        "repeated_spans": _repeated_spans_sql(),
     }
     base.update(_signature_cte_oracles())
     return base
+
+
+def _repeated_spans_sql() -> str:
+    from fast_langdetect_spark.operators.spans import duckdb_repeated_span_sql
+
+    block = (
+        " this block of license text is repeated verbatim across many files"
+    )
+    aug = f"""(SELECT doc_id,
+      text || CASE
+        WHEN doc_id % 5 = 0 THEN '{block}'
+        WHEN doc_id % 7 = 1 THEN ' unique trailer ' ||
+          CAST(doc_id AS VARCHAR) || ' tail tokens here'
+        ELSE '' END AS text
+    FROM documents)"""
+    inner = duckdb_repeated_span_sql(aug, n_tokens=6, max_shared_frac=0.1)
+    return (
+        "SELECT doc_id, n_tokens, n_grams, n_shared_grams, covered_tokens, "
+        "round(shared_token_frac, 6) AS shared_frac_r, has_shared_span "
+        f"FROM ({inner})"
+    )
 
 
 def _repetition_sql() -> str:

@@ -1,0 +1,222 @@
+"""Cross-document repeated-span detection (exact-substring dedup family).
+
+Lee et al., "Deduplicating Training Data Makes Language Models Better"
+(arXiv:2107.06499) remove verbatim token spans (>= ~50 tokens) that occur in
+more than one document — the dedup family the doc-level operators
+(exact / MinHash / SimHash / token-Jaccard in operators/dedup.py) cannot
+express, because two documents sharing one boilerplate block are NOT
+near-duplicates as wholes.  The reference repo has no dedup at all; this is
+a training-data-pipeline extra per the task brief.
+
+Spark-first formulation (no suffix arrays — they are a single-machine
+construction; the distributed equivalent is the n-gram inverted shape):
+
+1. MAP-SIDE gram build: posexplode token positions, window of ``n_tokens``
+   via array indexing (``F.get``) — the operators/repetition.py shape: no
+   higher-order lambdas, no lead() window, token rows never shuffle for
+   gram CONSTRUCTION.  Grams are keyed by xxhash64 over the token columns
+   (never concatenated strings — the measured OOM lesson); the DuckDB twin
+   keys on the raw joined gram text, the collision-free twin.
+2. ONE corpus-wide shuffle of the compact (ghash, id, pos) rows: a window
+   ``min(id)/max(id) OVER (PARTITION BY ghash)`` marks grams seen in more
+   than one distinct document — no self-join, no countDistinct expand.
+   Hash-keyed, so the shuffle is uniform by construction (a boilerplate
+   gram shared by 10M docs is ONE partition's worth of equal keys feeding
+   a streaming min/max — bounded state, unlike a collect_list).
+3. Shared positions only (the small survivor set in a healthy corpus) are
+   re-clustered by doc for EXACT interval-union coverage: each shared
+   position covers tokens [pos, pos+n); sorted within doc, the union is
+   sum(min(next_pos - pos, n)) with the last span contributing n — an
+   order-statistics identity, so one lead() window gives exact coverage
+   without materializing per-token rows.
+4. Join back to the documents for zero rows; every aggregate downstream of
+   step 3 reuses HashPartitioning(id).
+
+At 100 TB: step 2 is the dominant shuffle — ~total_tokens rows of 24 bytes,
+AQE-splittable, no skew (hash keys).  Span REMOVAL (rewriting text) would
+reuse the same shared-position set; this operator emits the per-document
+flags/coverage a filter pipeline consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TOKEN_SPLIT = "[ \t\r\n\f]+"
+_TOKEN_CLASS = _TOKEN_SPLIT[:-1]
+
+
+def _token_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks, n_tokens) with end-empties trimmed so array indexing is
+    token adjacency (interior empties are impossible: the + collapses
+    separator runs).  Same construction as operators/repetition.py."""
+    clean = F.regexp_replace(
+        F.col(text_col), f"^{_TOKEN_CLASS}+|{_TOKEN_CLASS}+$", ""
+    )
+    toks = F.split(clean, _TOKEN_SPLIT)
+    # split('') == [''] — normalize the empty doc to an empty array
+    toks = F.when(F.length(clean) > 0, toks).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("_id"), toks.alias("_toks"), F.size(toks).alias("_n_tokens")
+    )
+
+
+def repeated_span_flags(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: int = 50,
+    max_shared_frac: float = 0.2,
+) -> DataFrame:
+    """Per-document cross-corpus repeated-span coverage + flag.
+
+    Output: ``id_col``, ``n_tokens`` (whitespace tokens), ``n_grams``
+    (positions = max(n_tokens - n + 1, 0)), ``n_shared_grams`` (positions
+    whose n-gram occurs in >= 2 distinct documents), ``covered_tokens``
+    (EXACT union of the shared spans' token intervals),
+    ``shared_token_frac`` (covered / n_tokens) and ``has_shared_span``
+    (frac > *max_shared_frac*).  Within-document repeats do NOT count
+    (that is gopher_repetition's job): a gram is shared iff its document
+    set has min(id) != max(id), so ``id_col`` must be unique per document.
+    """
+    if n_tokens < 2:
+        raise ValueError("n_tokens must be >= 2")
+    base = _token_arrays(df, id_col, text_col)
+    pos_rows = base.select(
+        "_id", "_toks", F.posexplode("_toks").alias("_pos", "_tok")
+    )
+    parts = [F.col("_tok")] + [
+        F.get("_toks", F.col("_pos") + i) for i in range(1, n_tokens)
+    ]
+    grams = pos_rows.select(
+        "_id",
+        "_pos",
+        F.when(parts[-1].isNotNull(), F.xxhash64(*parts)).alias("_ghash"),
+    ).where(F.col("_ghash").isNotNull())
+
+    w_gram = Window.partitionBy("_ghash")
+    shared = (
+        grams.withColumns(
+            {"_mn": F.min("_id").over(w_gram), "_mx": F.max("_id").over(w_gram)}
+        )
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("_id", "_pos")
+    )
+    w_doc = Window.partitionBy("_id").orderBy("_pos")
+    cov = (
+        shared.withColumn("_nxt", F.lead("_pos").over(w_doc))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_shared"),
+            F.sum(
+                F.least(
+                    F.coalesce(F.col("_nxt") - F.col("_pos"), F.lit(n_tokens)),
+                    F.lit(n_tokens),
+                )
+            ).alias("_covered"),
+        )
+    )
+    frac = F.coalesce(F.col("_covered"), F.lit(0)).cast("double") / F.greatest(
+        F.col("_n_tokens"), F.lit(1)
+    ).cast("double")
+    return (
+        base.select("_id", "_n_tokens")
+        .join(cov, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n_tokens").alias("n_tokens"),
+            F.greatest(F.col("_n_tokens") - (n_tokens - 1), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("_n_shared"), F.lit(0)).alias("n_shared_grams"),
+            F.coalesce(F.col("_covered"), F.lit(0)).alias("covered_tokens"),
+            frac.alias("shared_token_frac"),
+            (frac > float(max_shared_frac)).alias("has_shared_span"),
+        )
+    )
+
+
+def duckdb_repeated_span_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: int = 50,
+    max_shared_frac: float = 0.2,
+) -> str:
+    """DuckDB twin of :func:`repeated_span_flags` — grams keyed by the raw
+    space-joined token window (collision-free twin of xxhash64)."""
+    n = n_tokens
+    return f"""
+WITH toklists AS (
+  SELECT {id_col} AS id,
+         list_filter(regexp_split_to_array({text_col},
+                     '[ \t\r\n\f]+'), x -> x <> '') AS toks
+  FROM {table}
+), grams AS (
+  SELECT id, pos, array_to_string(toks[pos:pos + {n - 1}], ' ') AS gram
+  FROM (SELECT id, toks,
+               unnest(range(1, greatest(len(toks) - {n} + 1, 0) + 1)) AS pos
+        FROM toklists)
+), shared AS (
+  SELECT id, pos FROM (
+    SELECT id, pos,
+           MIN(id) OVER (PARTITION BY gram) AS mn,
+           MAX(id) OVER (PARTITION BY gram) AS mx
+    FROM grams
+  ) WHERE mn <> mx
+), cov AS (
+  SELECT id, COUNT(*) AS n_shared,
+         SUM(least(coalesce(nxt - pos, {n}), {n})) AS covered
+  FROM (SELECT id, pos, lead(pos) OVER (PARTITION BY id ORDER BY pos) AS nxt
+        FROM shared)
+  GROUP BY id
+)
+SELECT t.id AS {id_col},
+       COALESCE(len(t.toks), 0) AS n_tokens,
+       greatest(COALESCE(len(t.toks), 0) - {n - 1}, 0) AS n_grams,
+       COALESCE(c.n_shared, 0) AS n_shared_grams,
+       COALESCE(c.covered, 0) AS covered_tokens,
+       COALESCE(c.covered, 0) / CAST(greatest(COALESCE(len(t.toks), 0), 1) AS DOUBLE)
+         AS shared_token_frac,
+       COALESCE(c.covered, 0) / CAST(greatest(COALESCE(len(t.toks), 0), 1) AS DOUBLE)
+         > {float(max_shared_frac)!r} AS has_shared_span
+FROM toklists t LEFT JOIN cov c ON c.id = t.id
+"""
+
+
+def golden_repeated_spans(
+    docs: dict[int, str], *, n_tokens: int = 50, max_shared_frac: float = 0.2
+) -> dict[int, dict]:
+    """Scalar Python golden for tests (independent interval-union code)."""
+    import re
+
+    tok = {
+        i: [t for t in re.split("[ \t\r\n\f]+", s, flags=re.ASCII) if t]
+        for i, s in docs.items()
+    }
+    gram_owners: dict[tuple, set] = {}
+    for i, ts in tok.items():
+        for p in range(len(ts) - n_tokens + 1):
+            gram_owners.setdefault(tuple(ts[p : p + n_tokens]), set()).add(i)
+    out = {}
+    for i, ts in tok.items():
+        shared_pos = [
+            p
+            for p in range(len(ts) - n_tokens + 1)
+            if len(gram_owners[tuple(ts[p : p + n_tokens])]) > 1
+        ]
+        covered_set: set[int] = set()
+        for p in shared_pos:
+            covered_set.update(range(p, p + n_tokens))
+        nt = len(ts)
+        frac = len(covered_set) / max(nt, 1)
+        out[i] = {
+            "n_tokens": nt,
+            "n_grams": max(nt - n_tokens + 1, 0),
+            "n_shared_grams": len(shared_pos),
+            "covered_tokens": len(covered_set),
+            "shared_token_frac": frac,
+            "has_shared_span": frac > max_shared_frac,
+        }
+    return out

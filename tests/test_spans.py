@@ -1,0 +1,137 @@
+"""Cross-document repeated-span detection: Spark ≡ DuckDB twin ≡ Python
+golden (exact interval-union coverage), degenerate inputs, fuzz."""
+
+import random
+
+import duckdb
+import pandas as pd
+
+from fast_langdetect_spark.operators.spans import (
+    duckdb_repeated_span_sql,
+    golden_repeated_spans,
+    repeated_span_flags,
+)
+
+COLS = [
+    "n_tokens", "n_grams", "n_shared_grams", "covered_tokens",
+    "shared_token_frac", "has_shared_span",
+]
+
+
+def _spark_rows(spark, docs, **kw):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    return {r["doc_id"]: r.asDict() for r in repeated_span_flags(df, **kw).collect()}
+
+
+def _duck_rows(docs, **kw):
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}),
+    )
+    rows = con.sql(duckdb_repeated_span_sql(**kw)).fetchdf().to_dict("records")
+    return {r["doc_id"]: r for r in rows}
+
+
+def _assert_engines(spark, docs, **kw):
+    got = _spark_rows(spark, docs, **kw)
+    duck = _duck_rows(docs, **kw)
+    gold = golden_repeated_spans(docs, **kw)
+    assert set(got) == set(duck) == set(gold) == set(docs)
+    for i in docs:
+        for c in COLS:
+            g, d, o = gold[i][c], duck[i][c], got[i][c]
+            if c == "shared_token_frac":
+                assert abs(o - g) < 1e-12 and abs(d - g) < 1e-12, (i, c, o, d, g)
+            elif c == "has_shared_span":
+                assert bool(o) == bool(g) == bool(d), (i, c)
+            else:
+                assert o == g == d, (i, c, o, d, g, docs[i])
+
+
+def test_shared_block_detected_exactly(spark):
+    block = "this exact boilerplate license block is repeated verbatim here"
+    docs = {
+        0: f"alpha unique words {block} tail zero",
+        1: f"{block} completely different trailer one two",
+        2: "no overlap with anything at all in this document",
+        3: "short",
+        4: "",
+    }
+    kw = dict(n_tokens=4, max_shared_frac=0.3)
+    _assert_engines(spark, docs, **kw)
+    gold = golden_repeated_spans(docs, **kw)
+    # the 9-token block has 6 4-gram positions in each carrier, union = 9
+    assert gold[0]["covered_tokens"] == 9 and gold[1]["covered_tokens"] == 9
+    assert gold[0]["has_shared_span"] and gold[1]["has_shared_span"]
+    assert gold[2]["n_shared_grams"] == 0 and not gold[2]["has_shared_span"]
+    assert gold[3]["n_grams"] == 0 and gold[4]["n_tokens"] == 0
+
+
+def test_within_doc_repeats_do_not_count(spark):
+    docs = {
+        0: "x y z w x y z w x y z w",  # self-repetition only
+        1: "totally unrelated tokens here",
+    }
+    got = _spark_rows(spark, docs, n_tokens=4)
+    assert got[0]["n_shared_grams"] == 0 and not got[0]["has_shared_span"]
+    _assert_engines(spark, docs, n_tokens=4)
+
+
+def test_disjoint_spans_union_correctly(spark):
+    shared_a = "aa bb cc dd"
+    shared_b = "ee ff gg hh"
+    docs = {
+        0: f"{shared_a} u1 u2 u3 u4 u5 {shared_b}",
+        1: f"{shared_a} v1 v2 v3 v4 v5 w9 {shared_b}",
+        2: "nothing in common here whatsoever today",
+    }
+    kw = dict(n_tokens=4, max_shared_frac=0.5)
+    _assert_engines(spark, docs, **kw)
+    gold = golden_repeated_spans(docs, **kw)
+    assert gold[0]["covered_tokens"] == 8  # two disjoint 4-token spans
+
+
+def test_fuzz_engines_agree(spark):
+    rng = random.Random(20260818)
+    vocab = [f"w{i}" for i in range(12)]
+    shared_phrases = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 9)))
+        for _ in range(3)
+    ]
+    docs = {}
+    for i in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 25))]
+        text = " ".join(toks)
+        if rng.random() < 0.6:
+            ph = rng.choice(shared_phrases)
+            cut = rng.randrange(0, len(text) + 1)
+            text = (text[:cut] + " " + ph + " " + text[cut:]).strip()
+        docs[i] = text
+    for n in (3, 5):
+        _assert_engines(spark, docs, n_tokens=n, max_shared_frac=0.25)
+
+
+def test_plan_no_token_row_shuffle_before_gram_build(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[(F.col("id") * 31 + i).cast("string") for i in range(8)]
+        ).alias("text"),
+    )
+    plan = (
+        repeated_span_flags(df, n_tokens=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # gram build is a Generate with no exchange beneath it (map-side);
+    # total shuffles: ghash window + shared-rows doc window (+ join sides)
+    assert "Generate posexplode" in plan, plan[:400]
+    tail = plan[plan.index("Generate posexplode"):]
+    assert "Exchange" not in tail, tail[:400]  # nothing below the Generate
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
