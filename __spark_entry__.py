@@ -842,6 +842,42 @@ def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate line/paragraph fractions (operators/repetition.py
+    gopher_line_repetition).  The single-line documents table is
+    deterministically augmented with duplicate lines (every 3rd doc) and
+    duplicate paragraphs (every 4th-mod-1 doc), identically in the oracle,
+    so every branch and both char-weighted forms fire."""
+    from fast_langdetect_spark.operators.repetition import (
+        gopher_line_repetition,
+    )
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0, F.lit("\nrepeat this line\nrepeat this line\nz")
+            )
+            .when(d % 4 == 1, F.lit("\n\nsame para\n\nsame para\n\nother"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = gopher_line_repetition(aug)
+    return out.select(
+        "doc_id",
+        *[
+            F.round(c, 6).alias(f"{c}_r")
+            for c in (
+                "dup_line_frac", "dup_line_char_frac",
+                "dup_para_frac", "dup_para_char_frac",
+            )
+        ],
+        "is_line_repetitive",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "langid_top1": _q_langid_top1,
@@ -885,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "normalize_text": _q_normalize_text,
         "repeated_spans": _q_repeated_spans,
+        "line_repetition": _q_line_repetition,
     }
 
 
@@ -1697,9 +1734,33 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _repetition_sql(),
         "normalize_text": _normalize_sql(),
         "repeated_spans": _repeated_spans_sql(),
+        "line_repetition": _line_repetition_sql(),
     }
     base.update(_signature_cte_oracles())
     return base
+
+
+def _line_repetition_sql() -> str:
+    from fast_langdetect_spark.operators.repetition import (
+        duckdb_line_repetition_sql,
+    )
+
+    nl = "chr(10)"
+    aug = f"""(SELECT doc_id,
+      text || CASE
+        WHEN doc_id % 3 = 0 THEN {nl} || 'repeat this line' || {nl} ||
+          'repeat this line' || {nl} || 'z'
+        WHEN doc_id % 4 = 1 THEN {nl} || {nl} || 'same para' || {nl} ||
+          {nl} || 'same para' || {nl} || {nl} || 'other'
+        ELSE '' END AS text
+    FROM documents)"""
+    inner = duckdb_line_repetition_sql(aug)
+    cols = [
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+    ]
+    rounded = ", ".join(f"round({c}, 6) AS {c}_r" for c in cols)
+    return f"SELECT doc_id, {rounded}, is_line_repetitive FROM ({inner})"
 
 
 def _repeated_spans_sql() -> str:

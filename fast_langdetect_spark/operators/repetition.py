@@ -308,3 +308,190 @@ def ngram_sizes(
     dup_thresholds: Mapping[int, float] = DUP_NGRAM_THRESHOLDS,
 ) -> Sequence[int]:
     return sorted({*top_thresholds, *dup_thresholds})
+
+
+# ---------------------------------------------------------------- line/para
+# Gopher table A1's remaining within-document rules: duplicate line /
+# paragraph fractions, count- and character-weighted.  quality.py's
+# distinct_line_ratio is the unweighted complement; the char-weighted forms
+# are what catch a doc whose few huge boilerplate blocks repeat.
+
+LINE_REP_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+}
+# same paragraph boundary as operators/dedup.py paragraph_dedup_flags
+_PARA_SPLIT = "\n[ \t\r\f]*\n+"
+
+
+def gopher_line_repetition(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: Mapping[str, float] = LINE_REP_THRESHOLDS,
+) -> DataFrame:
+    """Within-document duplicate line / paragraph fractions + flag.
+
+    Definitions (mirrored exactly in :func:`duckdb_line_repetition_sql`):
+    units are raw ``\\n``-split lines (resp. blank-line-split paragraphs)
+    whose TRIMMED form is non-empty; unit identity is the raw unit text
+    (lines) / trimmed text (paragraphs, matching paragraph_dedup_flags).
+    ``dup_*_frac`` = (n_units - n_distinct_units) / n_units;
+    ``dup_*_char_frac`` = sum over duplicate groups of (count-1) * unit
+    chars / total unit chars — every occurrence beyond the first is
+    "duplicate", the Gopher/DataTrove convention.  ``is_line_repetitive``
+    = any fraction strictly above its threshold.
+
+    Plan: ONE repartition of the compact doc rows by id, REUSED by the
+    line and paragraph branches (ReusedExchange); each branch groups by
+    (id, xxhash64(unit)) then (id), both satisfied by HashPartitioning(id)
+    — no further exchange, and the final branch join is co-partitioned.
+    ``id_col`` must be unique per document (same contract as
+    gopher_repetition).
+    """
+    for k in thresholds:
+        if k not in LINE_REP_THRESHOLDS:
+            raise ValueError(f"unknown threshold {k!r}")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).repartition(F.col("_id"))
+
+    def branch(split_re: str, trim_unit: bool, prefix: str) -> DataFrame:
+        unit = F.col("_u")
+        if trim_unit:
+            unit = F.trim(unit)
+        units = base.select(
+            "_id", F.explode(F.split("_text", split_re)).alias("_u")
+        ).where(F.trim("_u") != "")
+        per_unit = units.groupBy("_id", F.xxhash64(unit).alias("_uh")).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.max(F.length(unit)).alias("_chars"),
+        )
+        tot = F.sum(F.col("_cnt") * F.col("_chars"))
+        return per_unit.groupBy("_id").agg(
+            (
+                (F.sum("_cnt") - F.count(F.lit(1)))
+                / F.greatest(F.sum("_cnt"), F.lit(1)).cast("double")
+            ).alias(f"dup_{prefix}_frac"),
+            (
+                F.sum((F.col("_cnt") - 1) * F.col("_chars"))
+                / F.greatest(tot, F.lit(1)).cast("double")
+            ).alias(f"dup_{prefix}_char_frac"),
+        )
+
+    lines = branch("\n", trim_unit=False, prefix="line")
+    paras = branch(_PARA_SPLIT, trim_unit=True, prefix="para")
+    out_names = [
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+    ]
+    joined = (
+        df.select(F.col(id_col).alias("_id"))
+        .join(lines, "_id", "left")
+        .join(paras, "_id", "left")
+    )
+    cols = {c: F.coalesce(F.col(c), F.lit(0.0)) for c in out_names}
+    flag: Column = F.lit(False)
+    for c in out_names:
+        if c in thresholds:
+            flag = flag | (cols[c] > float(thresholds[c]))
+    return joined.select(
+        F.col("_id").alias(id_col),
+        *[cols[c].alias(c) for c in out_names],
+        flag.alias("is_line_repetitive"),
+    )
+
+
+def duckdb_line_repetition_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: Mapping[str, float] = LINE_REP_THRESHOLDS,
+) -> str:
+    """DuckDB twin of :func:`gopher_line_repetition` (raw unit text as the
+    collision-free twin of xxhash64)."""
+
+    def branch(split_expr: str, unit_expr: str, prefix: str) -> str:
+        return f"""
+{prefix}_units AS (
+  SELECT id, {unit_expr} AS u FROM (
+    SELECT {id_col} AS id, unnest({split_expr}) AS raw_u FROM {table}
+  ) WHERE trim(raw_u) <> ''
+), {prefix}_groups AS (
+  SELECT id, u, COUNT(*) AS cnt, MAX(length(u)) AS chars
+  FROM {prefix}_units GROUP BY id, u
+), {prefix}_stats AS (
+  SELECT id,
+         (SUM(cnt) - COUNT(*)) / CAST(greatest(SUM(cnt), 1) AS DOUBLE)
+           AS dup_{prefix}_frac,
+         SUM((cnt - 1) * chars) /
+           CAST(greatest(SUM(cnt * chars), 1) AS DOUBLE)
+           AS dup_{prefix}_char_frac
+  FROM {prefix}_groups GROUP BY id
+)"""
+
+    lines = branch("string_split(" + text_col + ", chr(10))", "raw_u", "line")
+    paras = branch(
+        f"regexp_split_to_array({text_col}, '\\n[ \\t\\r\\f]*\\n+')",
+        "trim(raw_u)",
+        "para",
+    )
+    qual = {
+        "dup_line_frac": "l.dup_line_frac",
+        "dup_line_char_frac": "l.dup_line_char_frac",
+        "dup_para_frac": "p.dup_para_frac",
+        "dup_para_char_frac": "p.dup_para_char_frac",
+    }
+    conds = " OR ".join(
+        f"COALESCE({qual[c]}, 0.0) > {float(v)!r}" for c, v in thresholds.items()
+    )
+    return f"""
+WITH {lines.strip().rstrip()},
+{paras.strip().rstrip()}
+SELECT d.{id_col} AS {id_col},
+       COALESCE(l.dup_line_frac, 0.0) AS dup_line_frac,
+       COALESCE(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       COALESCE(p.dup_para_frac, 0.0) AS dup_para_frac,
+       COALESCE(p.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+       ({conds}) AS is_line_repetitive
+FROM {table} d
+LEFT JOIN line_stats l ON l.id = d.{id_col}
+LEFT JOIN para_stats p ON p.id = d.{id_col}
+"""
+
+
+def golden_line_repetition(
+    text: str, *, thresholds: Mapping[str, float] = LINE_REP_THRESHOLDS
+) -> dict[str, float | bool]:
+    """Scalar Python golden for tests (independent code path)."""
+    import re
+    from collections import Counter
+
+    out: dict[str, float | bool] = {}
+    # strip(' ') NOT strip(): Spark/DuckDB trim() remove SPACES only
+    for prefix, units in (
+        ("line", [u for u in text.split("\n") if u.strip(" ")]),
+        (
+            "para",
+            [
+                u.strip(" ")
+                for u in re.split("\n[ \t\r\f]*\n+", text)
+                if u.strip(" ")
+            ],
+        ),
+    ):
+        counts = Counter(units)
+        n = len(units)
+        tot = sum(len(u) for u in units)
+        dup_frac = (n - len(counts)) / max(n, 1)
+        dup_chars = sum((c - 1) * len(u) for u, c in counts.items())
+        out[f"dup_{prefix}_frac"] = dup_frac
+        out[f"dup_{prefix}_char_frac"] = dup_chars / max(tot, 1)
+    out["is_line_repetitive"] = any(
+        out[k] > v for k, v in thresholds.items()
+    )
+    return out

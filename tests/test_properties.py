@@ -84,3 +84,77 @@ def test_perplexity_batch_equals_single(batch):
     for i, t in enumerate(batch):
         single = lm.perplexity([t])[0]
         assert np.isclose(got[i], single), (t, got[i], single)
+
+
+# ---------------------------------------------------------------- goldens
+# Pure-Python property checks for the round-4 scalar goldens (no Spark):
+# the cross-engine tests pin Spark/DuckDB to these, so invariants proven
+# here transfer to all three implementations.
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+_texty = st.lists(
+    st.sampled_from(
+        list("ab xy\t\n\r\f文.!") + ["tok ", "dup dup ", "\n\n", " \t "]
+    ),
+    max_size=60,
+).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texty)
+def test_golden_repetition_fracs_bounded(text):
+    from fast_langdetect_spark.operators.repetition import golden_repetition
+
+    out = golden_repetition(text)
+    for k, v in out.items():
+        if k != "is_repetitive":
+            assert 0.0 <= v <= 1.0, (k, v, repr(text))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texty)
+def test_golden_line_repetition_fracs_bounded(text):
+    from fast_langdetect_spark.operators.repetition import (
+        golden_line_repetition,
+    )
+
+    out = golden_line_repetition(text)
+    for k, v in out.items():
+        if k != "is_line_repetitive":
+            assert 0.0 <= v <= 1.0, (k, v, repr(text))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_texty, max_size=8), st.integers(min_value=2, max_value=6))
+def test_golden_spans_coverage_invariants(texts, n):
+    from fast_langdetect_spark.operators.spans import golden_repeated_spans
+
+    docs = dict(enumerate(texts))
+    out = golden_repeated_spans(docs, n_tokens=n)
+    for i, r in out.items():
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"]
+        assert 0 <= r["n_shared_grams"] <= r["n_grams"]
+        assert 0.0 <= r["shared_token_frac"] <= 1.0
+        if r["n_shared_grams"] == 0:
+            assert r["covered_tokens"] == 0 and not r["has_shared_span"]
+        else:
+            assert r["covered_tokens"] >= n  # at least one full span
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=100), st.booleans())
+def test_golden_normalize_idempotent_and_clean(text, collapse):
+    from fast_langdetect_spark.operators.normalize import (
+        CONTROL_RE,
+        FOLD_DST,
+        FOLD_SRC,
+        golden_normalize,
+    )
+    import re
+
+    once = golden_normalize(text, collapse_ws=collapse)
+    assert golden_normalize(once, collapse_ws=collapse) == once
+    assert not re.search(CONTROL_RE, once)
+    deleted = set(FOLD_SRC[len(FOLD_DST):])
+    assert not (set(once) & deleted)

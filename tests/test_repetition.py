@@ -124,3 +124,99 @@ def test_plan_shape_single_metric_shuffle(spark):
     # join-back; every groupBy reuses HashPartitioning(_id) (subset rule)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------- line/para rules
+from fast_langdetect_spark.operators.repetition import (  # noqa: E402
+    duckdb_line_repetition_sql,
+    golden_line_repetition,
+    gopher_line_repetition,
+)
+
+LINE_CASES = [
+    "",
+    "single line only",
+    "dup\ndup\nunique one\nunique two",
+    "a\n\n  \na",                      # blank/space-only lines skipped
+    "para one\n\npara one\n\npara two",  # duplicate paragraphs
+    "  padded  \n  padded  \nother",     # raw line identity (padding kept)
+    "x\ny\n\n \nx\ny",                   # same 2-line para twice
+    "tab\t\n\t\nafter",                  # tab-only line is NOT blank
+    "long boilerplate line repeated here\n" * 5 + "tiny\nx",
+]
+
+
+def _line_spark(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {r["doc_id"]: r.asDict() for r in gopher_line_repetition(df).collect()}
+
+
+def _line_duck(texts):
+    import duckdb as _d
+    con = _d.connect()
+    con.register(
+        "documents", pd.DataFrame(enumerate(texts), columns=["doc_id", "text"])
+    )
+    rows = con.sql(duckdb_line_repetition_sql()).fetchdf().to_dict("records")
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_line_repetition_all_engines_agree(spark):
+    got = _line_spark(spark, LINE_CASES)
+    duck = _line_duck(LINE_CASES)
+    for i, t in enumerate(LINE_CASES):
+        gold = golden_line_repetition(t)
+        for k, v in gold.items():
+            if k == "is_line_repetitive":
+                assert bool(got[i][k]) == v == bool(duck[i][k]), (i, k, t)
+            else:
+                assert abs(got[i][k] - v) < 1e-12, (i, k, got[i][k], v, t)
+                assert abs(duck[i][k] - v) < 1e-12, (i, k, duck[i][k], v, t)
+
+
+def test_line_repetition_known_values(spark):
+    got = _line_spark(spark, ["dup\ndup\nunique one\nunique two"])[0]
+    assert abs(got["dup_line_frac"] - 1 / 4) < 1e-12
+    # dup chars = 3 of total 3+3+10+10 = 26
+    assert abs(got["dup_line_char_frac"] - 3 / 26) < 1e-12
+    got2 = _line_spark(spark, ["para one\n\npara one\n\npara two"])[0]
+    assert abs(got2["dup_para_frac"] - 1 / 3) < 1e-12
+    assert got2["is_line_repetitive"]  # 1/3 > 0.30
+
+
+def test_line_repetition_fuzz(spark):
+    rng = random.Random(20260819)
+    lines_pool = ["alpha", "beta beta", "  pad  ", "\t", "c" * 40, "文字"]
+    texts = []
+    for _ in range(30):
+        parts = [rng.choice(lines_pool) for _ in range(rng.randrange(0, 12))]
+        sep = lambda: rng.choice(["\n", "\n\n", "\n \n", "\n\n\n"])  # noqa: E731
+        s = ""
+        for p in parts:
+            s += p + (sep() if rng.random() < 0.8 else "\n")
+        texts.append(s)
+    got = _line_spark(spark, texts)
+    duck = _line_duck(texts)
+    for i, t in enumerate(texts):
+        gold = golden_line_repetition(t)
+        for k, v in gold.items():
+            if k == "is_line_repetitive":
+                assert bool(got[i][k]) == v == bool(duck[i][k]), (i, k, repr(t))
+            else:
+                assert abs(got[i][k] - v) < 1e-12, (i, k, repr(t))
+                assert abs(duck[i][k] - v) < 1e-12, (i, k, repr(t))
+
+
+def test_line_repetition_plan_single_repartition(spark):
+    df = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l1\nl2\n\np\n\np "), (F.col("id") % 5).cast("string")).alias("text"),
+    )
+    plan = (
+        gopher_line_repetition(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the doc-row repartition is REUSED by both branches; remaining
+    # exchanges: the join-back doc side (branch aggs are co-partitioned)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
