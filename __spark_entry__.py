@@ -878,6 +878,43 @@ def _q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher table-A1 quality signals (operators/gopher.py, Rae et al.
+    2112.11446): word count, mean word length, symbol-to-word ratio,
+    bullet/ellipsis line fractions, required-stopword rule.  Deterministic
+    augmentation (mirrored in the oracle) makes each bound fire on a known
+    subset: bullets (d%5=0), ellipsis lines (d%5=1), symbol soup (d%5=2),
+    stopword-rich filler (d%5=3)."""
+    from fast_langdetect_spark.operators.gopher import with_gopher_signals
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.when(d % 5 == 0, F.lit("\n- alpha\n* beta\n• gamma"))
+            .when(d % 5 == 1, F.lit("\ncontinued...\nmore…\t\nplain"))
+            .when(d % 5 == 2, F.lit(" ## ### ... … # #"))
+            .when(
+                d % 5 == 3,
+                F.lit(" the story be to of and that have with more detail"),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = with_gopher_signals(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round("mean_word_len", 6).alias("mean_word_len_r"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio_r"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac_r"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac_r"),
+        F.col("stopword_hits").cast("int").alias("stopword_hits"),
+        "gopher_quality_pass",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "langid_top1": _q_langid_top1,
@@ -922,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "repeated_spans": _q_repeated_spans,
         "line_repetition": _q_line_repetition,
+        "gopher_quality": _q_gopher_quality,
     }
 
 
@@ -1735,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": _normalize_sql(),
         "repeated_spans": _repeated_spans_sql(),
         "line_repetition": _line_repetition_sql(),
+        "gopher_quality": _gopher_quality_sql(),
     }
     base.update(_signature_cte_oracles())
     return base
@@ -1761,6 +1800,34 @@ def _line_repetition_sql() -> str:
     ]
     rounded = ", ".join(f"round({c}, 6) AS {c}_r" for c in cols)
     return f"SELECT doc_id, {rounded}, is_line_repetitive FROM ({inner})"
+
+
+def _gopher_quality_sql() -> str:
+    from fast_langdetect_spark.operators.gopher import duckdb_gopher_sql
+
+    nl = "chr(10)"
+    aug = f"""(SELECT doc_id,
+      text || CASE doc_id % 5
+        WHEN 0 THEN {nl} || '- alpha' || {nl} || '* beta' || {nl}
+          || chr(8226) || ' gamma'
+        WHEN 1 THEN {nl} || 'continued...' || {nl} || 'more' || chr(8230)
+          || chr(9) || {nl} || 'plain'
+        WHEN 2 THEN ' ## ### ... ' || chr(8230) || ' # #'
+        WHEN 3 THEN ' the story be to of and that have with more detail'
+        ELSE '' END AS text
+    FROM documents)"""
+    s = duckdb_gopher_sql("text")
+    return (
+        "SELECT doc_id, "
+        f"CAST(({s['n_words']}) AS INT) AS n_words, "
+        f"round({s['mean_word_len']}, 6) AS mean_word_len_r, "
+        f"round({s['symbol_word_ratio']}, 6) AS symbol_word_ratio_r, "
+        f"round({s['bullet_line_frac']}, 6) AS bullet_line_frac_r, "
+        f"round({s['ellipsis_line_frac']}, 6) AS ellipsis_line_frac_r, "
+        f"CAST(({s['stopword_hits']}) AS INT) AS stopword_hits, "
+        f"{s['gopher_quality_pass']} AS gopher_quality_pass "
+        f"FROM {aug} aug"
+    )
 
 
 def _repeated_spans_sql() -> str:

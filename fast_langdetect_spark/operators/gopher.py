@@ -1,0 +1,168 @@
+"""Gopher document-quality signals (Rae et al. arXiv:2112.11446, table A1).
+
+The table-A1 rules NOT already covered elsewhere in this repo:
+
+==========================  =============================  ================
+rule                        metric here                    Gopher bound
+==========================  =============================  ================
+word count                  ``n_words``                    50 … 100,000
+mean word length            ``mean_word_len``              3 … 10
+symbol-to-word ratio        ``symbol_word_ratio``          ≤ 0.10
+bullet-start line fraction  ``bullet_line_frac``           ≤ 0.90
+ellipsis-end line fraction  ``ellipsis_line_frac``         ≤ 0.30
+required English stopwords  ``stopword_hits``              ≥ 2 of 8
+==========================  =============================  ================
+
+(The remaining A1 rules live elsewhere: alpha-word fraction =
+``quality.alpha_token_frac``; the n-gram / line / paragraph repetition
+family = ``repetition.gopher_repetition`` / ``gopher_line_repetition``.)
+``gopher_quality_pass`` = all six bounds above hold.
+
+Everything is Catalyst-only — ``regexp_count`` / ``length`` arithmetic,
+no higher-order-function lambdas (~15 µs/element interpreted) and no
+per-row Python — so the block stays inside WholeStageCodegen and the
+operator is a pure map at any scale: zero shuffles, pushdown-friendly.
+
+Dialect notes (shared-pattern contract, CLAUDE.md):
+
+* Words are maximal runs of non-ASCII-whitespace, the repo's standard
+  ``[ \\t\\r\\n\\f]+`` split expressed as its complement
+  ``[^ \\t\\r\\n\\f]+`` so counting needs no split+filter lambda.
+* The two line-anchored patterns use ``(?m)``.  Java's MULTILINE treats
+  ``\\r``, ``\\u0085``, ``\\u2028``, ``\\u2029`` as line terminators;
+  RE2 and Python only ``\\n``.  The Spark-side pattern therefore adds
+  Java's ``(?d)`` (UNIX_LINES) flag — Java-only syntax is fine Spark-side,
+  same rule as regex_compat.java_ascii_boundaries.
+* ``\\b`` in the stopword patterns goes through
+  ``java_ascii_boundaries`` Spark-side (Java's ``\\b`` counts unicode
+  letters as word chars; RE2/re.ASCII are ASCII).
+
+Reference parity context: the reference repo (/root/reference, LlmKira/
+fast-langdetect) has no quality rules at all; this module is part of the
+training-pipeline extension mandate, with the public Gopher paper as spec.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .regex_compat import java_ascii_boundaries
+
+# shared (Java ∩ RE2 ∩ re.ASCII) pattern fragments
+RE_WORD = r"[^ \t\r\n\f]+"
+RE_SYMBOL = r"#|\.\.\.|…"  # the Gopher "symbols": hash and ellipsis
+RE_BULLET_LINE = r"(?m)^[ \t]*[-*•‣▪◦]"
+RE_ELLIPSIS_LINE = r"(?m)(\.\.\.|…)[ \t]*$"
+# Gopher's required-word list (table A1): ≥2 distinct must appear
+REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+GOPHER_BOUNDS: dict[str, tuple[float, float]] = {
+    "n_words": (50, 100_000),
+    "mean_word_len": (3.0, 10.0),
+    "symbol_word_ratio": (0.0, 0.10),
+    "bullet_line_frac": (0.0, 0.90),
+    "ellipsis_line_frac": (0.0, 0.30),
+    "stopword_hits": (2, 8),
+}
+
+
+def _java(pattern: str) -> str:
+    """Spark-side variant: UNIX_LINES so (?m) anchors agree with RE2/Python."""
+    return "(?d)" + pattern
+
+
+def gopher_signal_columns(text_col: str = "text") -> dict[str, Column]:
+    c = F.col(text_col)
+    n_words = F.regexp_count(c, F.lit(RE_WORD))
+    words_d = F.greatest(n_words, F.lit(1)).cast("double")
+    # sum of word lengths = chars remaining after deleting all whitespace
+    word_chars = F.length(F.regexp_replace(c, "[ \t\r\n\f]", ""))
+    n_lines = F.size(F.split(c, "\n"))
+    lines_d = n_lines.cast("double")  # split never yields an empty array
+    hits: Column = F.lit(0)
+    for w in REQUIRED_STOPWORDS:
+        pat = java_ascii_boundaries(rf"\b{w}\b")
+        hits = hits + F.when(F.lower(c).rlike(pat), 1).otherwise(0)
+    return {
+        "n_words": n_words,
+        "mean_word_len": word_chars / words_d,
+        "symbol_word_ratio": F.regexp_count(c, F.lit(RE_SYMBOL)) / words_d,
+        "bullet_line_frac": F.regexp_count(c, F.lit(_java(RE_BULLET_LINE)))
+        / lines_d,
+        "ellipsis_line_frac": F.regexp_count(c, F.lit(_java(RE_ELLIPSIS_LINE)))
+        / lines_d,
+        "stopword_hits": hits,
+    }
+
+
+def _pass_expr(cols: Mapping[str, Column]) -> Column:
+    flag = F.lit(True)
+    for name, (lo, hi) in GOPHER_BOUNDS.items():
+        flag = flag & (cols[name] >= lo) & (cols[name] <= hi)
+    return flag
+
+
+def with_gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    cols = gopher_signal_columns(text_col)
+    return df.withColumns({**cols, "gopher_quality_pass": _pass_expr(cols)})
+
+
+def duckdb_gopher_sql(t: str = "text") -> dict[str, str]:
+    """DuckDB twins (RE2: plain (?m), ASCII \\b) of every signal column."""
+    n_words = f"len(regexp_extract_all({t}, '{RE_WORD}'))"
+    words_d = f"CAST(greatest({n_words}, 1) AS DOUBLE)"
+    word_chars = f"length(regexp_replace({t}, '[ \t\r\n\f]', '', 'g'))"
+    lines_d = f"CAST(len(string_split({t}, chr(10))) AS DOUBLE)"
+    hits = " + ".join(
+        f"CASE WHEN regexp_matches(lower({t}), '\\b{w}\\b') THEN 1 ELSE 0 END"
+        for w in REQUIRED_STOPWORDS
+    )
+    out = {
+        "n_words": n_words,
+        "mean_word_len": f"{word_chars} / {words_d}",
+        "symbol_word_ratio": (
+            f"len(regexp_extract_all({t}, '{RE_SYMBOL}')) / {words_d}"
+        ),
+        "bullet_line_frac": (
+            f"len(regexp_extract_all({t}, '{RE_BULLET_LINE}')) / {lines_d}"
+        ),
+        "ellipsis_line_frac": (
+            f"len(regexp_extract_all({t}, '{RE_ELLIPSIS_LINE}')) / {lines_d}"
+        ),
+        "stopword_hits": f"({hits})",
+    }
+    out["gopher_quality_pass"] = " AND ".join(
+        f"(({out[n]}) >= {lo!r} AND ({out[n]}) <= {hi!r})"
+        for n, (lo, hi) in GOPHER_BOUNDS.items()
+    )
+    return out
+
+
+def golden_gopher_signals(text: str) -> dict[str, float | int | bool]:
+    """Scalar Python golden (independent code path, re.ASCII boundaries)."""
+    words = re.findall(RE_WORD, text)
+    n_words = len(words)
+    wd = max(n_words, 1)
+    lines = text.split("\n")
+    low = text.lower()
+    out: dict[str, float | int | bool] = {
+        "n_words": n_words,
+        "mean_word_len": sum(len(w) for w in words) / wd,
+        "symbol_word_ratio": len(re.findall(RE_SYMBOL, text)) / wd,
+        "bullet_line_frac": len(re.findall(RE_BULLET_LINE, text)) / len(lines),
+        "ellipsis_line_frac": len(re.findall(RE_ELLIPSIS_LINE, text))
+        / len(lines),
+        "stopword_hits": sum(
+            1
+            for w in REQUIRED_STOPWORDS
+            if re.search(rf"\b{w}\b", low, re.ASCII)
+        ),
+    }
+    out["gopher_quality_pass"] = all(
+        lo <= out[n] <= hi for n, (lo, hi) in GOPHER_BOUNDS.items()
+    )
+    return out

@@ -1,0 +1,124 @@
+"""Gopher table-A1 quality signals: Spark ≡ DuckDB twin ≡ Python golden,
+hand-checked fixtures, dialect edge cases (line terminators, unicode-adjacent
+stopwords), and the zero-shuffle plan shape."""
+
+import random
+
+import duckdb
+import pandas as pd
+
+from fast_langdetect_spark.operators.gopher import (
+    GOPHER_BOUNDS,
+    duckdb_gopher_sql,
+    golden_gopher_signals,
+    with_gopher_signals,
+)
+
+CASES = [
+    "",                                  # no words, one line
+    "one",
+    "the quiet mountain village rested beside calm waters and people "
+    "there have lived with honest purpose of shared effort to build "
+    "things that endure " * 3,           # clean pass: all six bounds hold
+    "- bullet one\n- bullet two\nplain line",
+    "\t * spaced bullet\n• unicode bullet\nx",
+    "trailing dots...\nand more…\nplain",
+    "...\n…  \nboth bare",
+    "### symbols # here ... and … more #",
+    "word " * 60,                        # enough words, no stopwords
+    "supercalifragilisticexpialidocious " * 55,  # mean word len > 10
+    "a b c d e f g h i j " * 6,          # mean word len < 3
+    "\tweird\n\nwhitespace\f mix \r\n of  separators \x0b kept",
+    "the be to of and " * 20,            # stopword soup
+    "The THE tHe\nBe and OF",            # case folding for stopwords
+    "mixed 文the言 boundary",    # CJK-adjacent stopword: ASCII \b hits
+    "athe theb nothe",                   # embedded: must NOT count
+    "ends with ellipsis...",             # no trailing newline, $ at EOS
+    "...starts\nmid...dots\nok... ",     # ellipsis not at line end (trailing sp)
+]
+
+
+def _spark_rows(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {r["doc_id"]: r.asDict() for r in with_gopher_signals(df).collect()}
+
+
+def _duck_rows(texts):
+    con = duckdb.connect()
+    con.register(
+        "d", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    sel = ", ".join(
+        f"({v}) AS {k}" for k, v in duckdb_gopher_sql("text").items()
+    )
+    rows = con.sql(f"SELECT doc_id, {sel} FROM d").fetchdf().to_dict("records")
+    return {r["doc_id"]: r for r in rows}
+
+
+def _assert_all_engines(spark, texts):
+    got = _spark_rows(spark, texts)
+    duck = _duck_rows(texts)
+    for i, t in enumerate(texts):
+        gold = golden_gopher_signals(t)
+        for k, gv in gold.items():
+            sv, dv = got[i][k], duck[i][k]
+            if isinstance(gv, bool):
+                assert bool(sv) == gv == bool(dv), (i, k, sv, gv, dv, t)
+            else:
+                assert abs(float(sv) - float(gv)) < 1e-12, (i, k, sv, gv, t)
+                assert abs(float(dv) - float(gv)) < 1e-12, (i, k, dv, gv, t)
+
+
+def test_hand_cases_all_engines_agree(spark):
+    _assert_all_engines(spark, CASES)
+
+
+def test_known_values(spark):
+    rows = _spark_rows(spark, CASES)
+    clean = rows[2]   # stopword-rich, 72 words, all bounds hold
+    assert clean["gopher_quality_pass"]
+    assert clean["stopword_hits"] == 7  # all but "be"
+    assert rows[8]["stopword_hits"] == 0          # "word" is not a stopword
+    assert not rows[8]["gopher_quality_pass"]
+    assert rows[9]["mean_word_len"] > 10          # long-word doc fails bound
+    assert not rows[9]["gopher_quality_pass"]
+    assert rows[3]["bullet_line_frac"] == 2 / 3
+    assert rows[5]["ellipsis_line_frac"] == 2 / 3
+    assert rows[16]["ellipsis_line_frac"] == 1.0  # $ at end-of-string
+    # [ \t]*$ absorbs trailing blanks: only "ok... " matches of the 3 lines
+    assert rows[17]["ellipsis_line_frac"] == 1 / 3
+    assert rows[14]["stopword_hits"] >= 1         # CJK-adjacent "the" counts
+    assert rows[15]["stopword_hits"] == 0         # embedded does not
+
+
+def test_fuzz_engines_agree(spark):
+    rng = random.Random(20260817)
+    vocab = (
+        list(golden_gopher_signals.__globals__["REQUIRED_STOPWORDS"])
+        + ["lorem", "ipsum", "#", "...", "…", "-", "*", "•",
+           "文言", "x", "supercalifragilistic"]
+    )
+    seps = [" ", "  ", "\n", "\n\n", "\t", "\r\n", "\f"]
+    texts = []
+    for _ in range(60):
+        k = rng.randrange(0, 40)
+        parts = [rng.choice(vocab) for _ in range(k)]
+        texts.append(
+            "".join(w + rng.choice(seps) for w in parts).rstrip()
+            if parts else ""
+        )
+    _assert_all_engines(spark, texts)
+
+
+def test_plan_is_pure_map(spark):
+    df = spark.createDataFrame([(1, "the be to")], "doc_id long, text string")
+    plan = with_gopher_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEval" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bounds_cover_all_signal_columns():
+    sig = set(golden_gopher_signals("the be to of and"))
+    assert set(GOPHER_BOUNDS) == sig - {"gopher_quality_pass"}
