@@ -915,6 +915,44 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/c4.py, Raffel et al. 1910.10683
+    §2.2): terminal-punctuation line filter, ≥3-word lines, javascript-line
+    drop, lorem-ipsum / bad-word doc flags, ≥5-sentence rule.
+    Deterministic augmentation (mirrored in the oracle) exercises each
+    path: kept line (d%5=0), short/punctless dropped line (d%5=1),
+    javascript line (d%5=2), lorem-ipsum doc flag (d%5=3)."""
+    from fast_langdetect_spark.operators.c4 import with_c4_signals
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.lit("\nThis good line has enough words to keep."),
+            )
+            .when(d % 5 == 1, F.lit("\nshort line"))
+            .when(d % 5 == 2, F.lit("\nEnable javascript to view this page."))
+            .when(d % 5 == 3, F.lit(" lorem ipsum"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = with_c4_signals(aug)
+    return out.select(
+        "doc_id",
+        "c4_text",
+        F.col("n_lines_total").cast("int").alias("n_lines_total"),
+        F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
+        F.col("n_sentences").cast("int").alias("n_sentences"),
+        F.round("removed_char_frac", 6).alias("removed_char_frac_r"),
+        "has_lorem_ipsum",
+        "has_bad_words",
+        "c4_doc_pass",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "langid_top1": _q_langid_top1,
@@ -960,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": _q_repeated_spans,
         "line_repetition": _q_line_repetition,
         "gopher_quality": _q_gopher_quality,
+        "c4_clean": _q_c4_clean,
     }
 
 
@@ -1774,6 +1813,7 @@ def oracle_sql() -> dict[str, str]:
         "repeated_spans": _repeated_spans_sql(),
         "line_repetition": _line_repetition_sql(),
         "gopher_quality": _gopher_quality_sql(),
+        "c4_clean": _c4_clean_sql(),
     }
     base.update(_signature_cte_oracles())
     return base
@@ -1800,6 +1840,33 @@ def _line_repetition_sql() -> str:
     ]
     rounded = ", ".join(f"round({c}, 6) AS {c}_r" for c in cols)
     return f"SELECT doc_id, {rounded}, is_line_repetitive FROM ({inner})"
+
+
+def _c4_clean_sql() -> str:
+    from fast_langdetect_spark.operators.c4 import duckdb_c4_sql
+
+    nl = "chr(10)"
+    aug = f"""(SELECT doc_id,
+      text || CASE doc_id % 5
+        WHEN 0 THEN {nl} || 'This good line has enough words to keep.'
+        WHEN 1 THEN {nl} || 'short line'
+        WHEN 2 THEN {nl} || 'Enable javascript to view this page.'
+        WHEN 3 THEN ' lorem ipsum'
+        ELSE '' END AS text
+    FROM documents)"""
+    s = duckdb_c4_sql("text")
+    return (
+        "SELECT doc_id, "
+        f"({s['c4_text']}) AS c4_text, "
+        f"CAST(({s['n_lines_total']}) AS INT) AS n_lines_total, "
+        f"CAST(({s['n_lines_kept']}) AS INT) AS n_lines_kept, "
+        f"CAST(({s['n_sentences']}) AS INT) AS n_sentences, "
+        f"round({s['removed_char_frac']}, 6) AS removed_char_frac_r, "
+        f"{s['has_lorem_ipsum']} AS has_lorem_ipsum, "
+        f"{s['has_bad_words']} AS has_bad_words, "
+        f"{s['c4_doc_pass']} AS c4_doc_pass "
+        f"FROM {aug} aug"
+    )
 
 
 def _gopher_quality_sql() -> str:

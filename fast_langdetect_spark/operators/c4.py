@@ -1,0 +1,210 @@
+"""C4 line-level document cleaning (Raffel et al. arXiv:1910.10683 §2.2).
+
+The public C4 recipe, re-expressed Spark-first:
+
+* keep only lines that end in a terminal punctuation mark,
+* keep only lines with at least ``min_words`` words (C4: 3),
+* drop lines containing the word "javascript",
+* flag documents containing "lorem ipsum",
+* flag documents containing a curly brace (code marker — configurable,
+  since this engine also curates source-code corpora where ``{`` is fine),
+* flag documents hitting the bad-word screen (reuses
+  ``quality.RE_TOXIC`` — same list as the pipeline's toxicity rule),
+* require at least ``min_sentences`` sentences after cleaning (C4: 5).
+
+(The remaining C4 rule — three-sentence-span dedup — is the repeated-span
+family, ``operators/spans.py``; doc/paragraph dedup live in ``dedup.py``.)
+
+Execution shape: the whole operator is TWO chained ``regexp_replace``
+calls plus length arithmetic — a pure WholeStageCodegen map, zero
+shuffles, zero Python, zero per-line higher-order lambdas (~15 µs/element
+interpreted).  Line deletion Spark-side uses a Java-only negative
+lookahead of the keep-predicate; the DuckDB twin reaches the same result
+with ``list_filter`` over ``string_split`` (RE2 has no lookaround — the
+shared-pattern contract in CLAUDE.md allows engine-specific *forms* as
+long as the *result* is identical, which tests/test_c4.py fuzz-pins).
+
+Dialect notes:
+
+* The keep-predicate regex uses only explicit ASCII classes (``[ \\t]``,
+  ``[^ \\t]``) and the terminal-punct class — no ``\\s``/``\\w``/``\\b``,
+  so Java, RE2 and Python agree symbol-for-symbol.
+* Spark-side multiline patterns carry Java's ``(?d)`` (UNIX_LINES) so
+  ``(?m)`` anchors agree with RE2/Python, which only treat ``\\n`` as a
+  line terminator (same guard as operators/gopher.py).
+* The alternating ``[^ \\t]+[ \\t]+`` groups are disjoint character
+  classes, so the lookahead backtracks linearly (no catastrophic case).
+
+Reference parity context: the reference repo (/root/reference) has no
+corpus-cleaning rules; this module is part of the training-pipeline
+extension mandate, with the public C4 paper as spec.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .quality import RE_TOXIC
+from .regex_compat import java_ascii_boundaries
+
+# terminal punctuation accepted by C4: period, !, ?, closing quotes
+TERMINAL_PUNCT = '.!?"”'
+_PUNCT_CLS = '[.!?"”]'
+BANNED_LINE_TERM = "javascript"  # C4 drops any line containing this word
+
+DEFAULT_MIN_WORDS = 3
+DEFAULT_MIN_SENTENCES = 5
+
+
+def _keep_line_body(min_words: int) -> str:
+    """Shared (Java ∩ RE2 ∩ Python) regex a KEPT line must fully match:
+    ≥min_words whitespace-separated words, last one ending in terminal
+    punctuation (optionally followed by trailing blanks).  The word class
+    excludes \\n so the Spark-side lookahead (which sees the whole
+    document, not a split line) cannot match across line boundaries;
+    for the twin/golden, which test one split line at a time, the
+    exclusion is a no-op."""
+    return (
+        "[ \t]*(?:[^ \t\n]+[ \t]+){%d,}[^ \t\n]*%s[ \t]*"
+        % (min_words - 1, _PUNCT_CLS)
+    )
+
+
+def c4_clean_expr(text_col: str = "text", min_words: int = DEFAULT_MIN_WORDS) -> Column:
+    """Cleaned text: javascript lines, then non-qualifying lines, deleted."""
+    c = F.col(text_col)
+    no_js = F.regexp_replace(
+        c, "(?dm)^.*(?i:%s).*$\n?" % BANNED_LINE_TERM, ""
+    )
+    # Java-only negative lookahead of the keep predicate (Spark-side form)
+    drop = "(?dm)^(?!%s$).*$\n?" % _keep_line_body(min_words)
+    cleaned = F.regexp_replace(no_js, drop, "")
+    # deleting the final line leaves its preceding newline: strip one
+    # trailing \n so the cleaned text is exactly the kept lines joined
+    return F.regexp_replace(cleaned, "\n$", "")
+
+
+def c4_signal_columns(
+    text_col: str = "text",
+    *,
+    min_words: int = DEFAULT_MIN_WORDS,
+    min_sentences: int = DEFAULT_MIN_SENTENCES,
+    flag_curly: bool = False,
+) -> dict[str, Column]:
+    c = F.col(text_col)
+    cleaned = c4_clean_expr(text_col, min_words)
+    low = F.lower(c)
+    n_kept = F.when(cleaned == "", 0).otherwise(F.size(F.split(cleaned, "\n")))
+    n_sentences = F.regexp_count(cleaned, F.lit("%s+" % _PUNCT_CLS))
+    doc_pass = (
+        (n_sentences >= min_sentences)
+        & ~low.contains("lorem ipsum")
+        & ~c.rlike(java_ascii_boundaries(RE_TOXIC))
+    )
+    if flag_curly:
+        doc_pass = doc_pass & ~c.contains("{")
+    return {
+        "c4_text": cleaned,
+        "n_lines_total": F.size(F.split(c, "\n")),
+        "n_lines_kept": n_kept,
+        "n_sentences": n_sentences,
+        "removed_char_frac": (
+            (F.length(c) - F.length(cleaned))
+            / F.greatest(F.length(c), F.lit(1)).cast("double")
+        ),
+        "has_lorem_ipsum": low.contains("lorem ipsum"),
+        "has_curly_brace": c.contains("{"),
+        "has_bad_words": c.rlike(java_ascii_boundaries(RE_TOXIC)),
+        "c4_doc_pass": doc_pass,
+    }
+
+
+def with_c4_signals(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
+    return df.withColumns(c4_signal_columns(text_col, **kw))
+
+
+# --------------------------------------------------------------- DuckDB twin
+
+def duckdb_c4_sql(
+    t: str = "text",
+    *,
+    min_words: int = DEFAULT_MIN_WORDS,
+    min_sentences: int = DEFAULT_MIN_SENTENCES,
+    flag_curly: bool = False,
+) -> dict[str, str]:
+    """RE2 has no lookaround: the twin filters the split lines directly."""
+    keep = "^%s$" % _keep_line_body(min_words)
+    # COALESCE: duckdb's array_to_string([]) is NULL, not ''
+    cleaned = (
+        "COALESCE(array_to_string(list_filter(string_split(%s, chr(10)), "
+        "l -> regexp_matches(l, '%s') AND NOT contains(lower(l), '%s')), "
+        "chr(10)), '')" % (t, keep, BANNED_LINE_TERM)
+    )
+    low = f"lower({t})"
+    n_sent = f"len(regexp_extract_all(({cleaned}), '{_PUNCT_CLS}+'))"
+    doc_pass = (
+        f"({n_sent} >= {min_sentences}"
+        f" AND NOT contains({low}, 'lorem ipsum')"
+        f" AND NOT regexp_matches({t}, '{RE_TOXIC}')"
+    )
+    if flag_curly:
+        doc_pass += f" AND NOT contains({t}, '{{')"
+    doc_pass += ")"
+    return {
+        "c4_text": cleaned,
+        "n_lines_total": f"len(string_split({t}, chr(10)))",
+        "n_lines_kept": (
+            f"CASE WHEN ({cleaned}) = '' THEN 0 "
+            f"ELSE len(string_split(({cleaned}), chr(10))) END"
+        ),
+        "n_sentences": n_sent,
+        "removed_char_frac": (
+            f"(length({t}) - length({cleaned})) / "
+            f"CAST(greatest(length({t}), 1) AS DOUBLE)"
+        ),
+        "has_lorem_ipsum": f"contains({low}, 'lorem ipsum')",
+        "has_curly_brace": f"contains({t}, '{{')",
+        "has_bad_words": f"regexp_matches({t}, '{RE_TOXIC}')",
+        "c4_doc_pass": doc_pass,
+    }
+
+
+# ------------------------------------------------------------- scalar golden
+
+def golden_c4_signals(
+    text: str,
+    *,
+    min_words: int = DEFAULT_MIN_WORDS,
+    min_sentences: int = DEFAULT_MIN_SENTENCES,
+    flag_curly: bool = False,
+) -> dict[str, float | int | bool | str]:
+    """Independent Python code path (line-list filtering, like the twin)."""
+    keep = re.compile("^%s$" % _keep_line_body(min_words))
+    kept = [
+        l
+        for l in text.split("\n")
+        if keep.fullmatch(l) and BANNED_LINE_TERM not in l.lower()
+    ]
+    cleaned = "\n".join(kept)
+    low = text.lower()
+    n_sent = len(re.findall("%s+" % _PUNCT_CLS, cleaned))
+    has_bad = bool(re.search(RE_TOXIC, text, re.ASCII))
+    doc_pass = (
+        n_sent >= min_sentences and "lorem ipsum" not in low and not has_bad
+    )
+    if flag_curly:
+        doc_pass = doc_pass and "{" not in text
+    return {
+        "c4_text": cleaned,
+        "n_lines_total": len(text.split("\n")),
+        "n_lines_kept": len(kept),
+        "n_sentences": n_sent,
+        "removed_char_frac": (len(text) - len(cleaned)) / max(len(text), 1),
+        "has_lorem_ipsum": "lorem ipsum" in low,
+        "has_curly_brace": "{" in text,
+        "has_bad_words": has_bad,
+        "c4_doc_pass": doc_pass,
+    }

@@ -1,0 +1,138 @@
+"""C4 line-level cleaning: Spark (lookahead deletion) ≡ DuckDB twin
+(list_filter) ≡ Python golden (line-list), hand-checked fixtures, the
+engine-divergence edge cases (empty/blank lines, trailing newlines, \r\n,
+unicode, empty-match deletion), and the zero-shuffle plan shape."""
+
+import random
+
+import duckdb
+import pandas as pd
+
+from fast_langdetect_spark.operators.c4 import (
+    duckdb_c4_sql,
+    golden_c4_signals,
+    with_c4_signals,
+)
+
+CASES = [
+    "",
+    "one two three.",                      # single kept line, no newline
+    "one two three.\nbad\nalso bad",       # trailing deleted lines
+    "bad\none two three.",                 # leading deleted line
+    "a b c.\nbad\nd e f!",                 # interior deletion
+    "short.\nno punct here at all\nok ok ok?",
+    "Enable JavaScript to view this.\nplain good line here.",
+    "some javascript inline stays? it is dropped anyway.",
+    "ends with quote words”\nends with plain quote \"words\"",
+    "a b c.\n\n\n",                        # trailing empty lines
+    "\n\na b c.\n",                        # leading empty lines
+    "   \n\t\na b c.",                     # blank-ish lines
+    "a b c.\r\nd e f.",                    # \r blocks the terminal punct
+    "lorem ipsum dolor sit amet.\nmore good words here.",
+    "func() { return 1; }\nreal sentence with words.",
+    "one two three. four five six. seven eight nine. ten eleven twelve. "
+    "thirteen fourteen fifteen.",          # 5 sentences on one line
+    "文 言 文。\nthe cjk line has no ascii punct\n中文 mixed words ok.",
+    "tab\tsep\twords.\nspaced   out   words.",
+]
+
+
+def _spark_rows(spark, texts, **kw):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: r.asDict()
+        for r in with_c4_signals(df, **kw).collect()
+    }
+
+
+def _duck_rows(texts, **kw):
+    con = duckdb.connect()
+    con.register(
+        "d", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    sel = ", ".join(
+        f"({v}) AS {k}" for k, v in duckdb_c4_sql("text", **kw).items()
+    )
+    rows = con.sql(f"SELECT doc_id, {sel} FROM d").fetchdf().to_dict("records")
+    return {r["doc_id"]: r for r in rows}
+
+
+def _assert_all_engines(spark, texts, **kw):
+    got = _spark_rows(spark, texts, **kw)
+    duck = _duck_rows(texts, **kw)
+    for i, t in enumerate(texts):
+        gold = golden_c4_signals(t, **kw)
+        for k, gv in gold.items():
+            sv, dv = got[i][k], duck[i][k]
+            if isinstance(gv, bool):
+                assert bool(sv) == gv == bool(dv), (i, k, sv, gv, dv, repr(t))
+            elif isinstance(gv, str):
+                assert sv == gv == dv, (i, k, repr(sv), repr(gv), repr(dv))
+            else:
+                assert abs(float(sv) - float(gv)) < 1e-12, (i, k, sv, gv, t)
+                assert abs(float(dv) - float(gv)) < 1e-12, (i, k, dv, gv, t)
+
+
+def test_hand_cases_all_engines_agree(spark):
+    _assert_all_engines(spark, CASES)
+
+
+def test_hand_cases_flag_curly_and_thresholds(spark):
+    _assert_all_engines(
+        spark, CASES, min_words=2, min_sentences=1, flag_curly=True
+    )
+
+
+def test_known_values(spark):
+    rows = _spark_rows(spark, CASES)
+    assert rows[1]["c4_text"] == "one two three."
+    assert rows[2]["c4_text"] == "one two three."
+    assert rows[4]["c4_text"] == "a b c.\nd e f!"
+    assert rows[4]["n_lines_kept"] == 2 and rows[4]["n_lines_total"] == 3
+    # javascript lines dropped regardless of qualifying shape
+    assert rows[6]["c4_text"] == "plain good line here."
+    assert rows[7]["c4_text"] == ""
+    assert rows[9]["c4_text"] == "a b c." and rows[9]["n_lines_kept"] == 1
+    assert rows[12]["c4_text"] == "d e f."  # \r blocks terminal punct
+    assert rows[13]["has_lorem_ipsum"] and not rows[13]["c4_doc_pass"]
+    assert rows[14]["has_curly_brace"]
+    assert not rows[14]["c4_doc_pass"]  # fails the 5-sentence bound
+    assert rows[15]["n_sentences"] == 5 and rows[15]["c4_doc_pass"]
+    assert rows[0]["n_lines_kept"] == 0 and rows[0]["removed_char_frac"] == 0.0
+
+
+def test_curly_flag_drops_code_docs(spark):
+    # at min_sentences=1 doc 14 passes by default (curly allowed for code
+    # corpora) and fails once the curly flag is on
+    assert _spark_rows(spark, CASES, min_sentences=1)[14]["c4_doc_pass"]
+    rows = _spark_rows(spark, CASES, flag_curly=True, min_sentences=1)
+    assert not rows[14]["c4_doc_pass"]
+
+
+def test_fuzz_engines_agree(spark):
+    rng = random.Random(20260818)
+    frags = [
+        "one two three.", "no punct line", "x.", "a b c?", "word",
+        "Enable javascript now.", "JAVASCRIPT", "lorem ipsum", "{ code }",
+        "tab\tsep words.", "spaced   words !", "quote words”",
+        "文言 mixed ok.", "trailing spaces.   ", "..", "", "   ",
+        "five words in this line.",
+    ]
+    seps = ["\n", "\n\n", "\r\n", "\n \n"]
+    texts = []
+    for _ in range(60):
+        k = rng.randrange(0, 8)
+        texts.append(
+            rng.choice(seps).join(rng.choice(frags) for _ in range(k))
+        )
+    _assert_all_engines(spark, texts)
+    _assert_all_engines(spark, texts, min_words=4, min_sentences=2)
+
+
+def test_plan_is_pure_map(spark):
+    df = spark.createDataFrame([(1, "a b c.")], "doc_id long, text string")
+    plan = with_c4_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEval" not in plan
+    assert "BatchEvalPython" not in plan
