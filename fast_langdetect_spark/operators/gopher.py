@@ -22,6 +22,20 @@ Everything is Catalyst-only — ``regexp_count`` / ``length`` arithmetic,
 no higher-order-function lambdas (~15 µs/element interpreted) and no
 per-row Python — so the block stays inside WholeStageCodegen and the
 operator is a pure map at any scale: zero shuffles, pushdown-friendly.
+Two execution-shape rules keep it one-pass-per-signal (measured 5×,
+200k×840B docs, local[8]: 44 s → 8.6 s english / 5.4 s code):
+
+* the required-stopword rule is ONE ``regexp_extract_all`` scan with the
+  8-way alternation + ``array_distinct`` over the few matches —
+  identical semantics to eight ASCII-boundary ``\\b<word>\\b`` scans
+  (a token is a maximal ``[a-z0-9_]+`` run, so a captured word ⇔ an
+  ASCII-boundary-delimited hit) at a fraction of the scan cost, and
+  without materializing every token of every doc the way
+  ``split+array_intersect`` would;
+* expensive counters are materialized in a FIRST projection and ratios
+  derived from column references in a second — CollapseProject keeps the
+  two apart because the counters are non-cheap and multiply referenced,
+  so each text scan runs exactly once per row.
 
 Dialect notes (shared-pattern contract, CLAUDE.md):
 
@@ -33,9 +47,10 @@ Dialect notes (shared-pattern contract, CLAUDE.md):
   RE2 and Python only ``\\n``.  The Spark-side pattern therefore adds
   Java's ``(?d)`` (UNIX_LINES) flag — Java-only syntax is fine Spark-side,
   same rule as regex_compat.java_ascii_boundaries.
-* ``\\b`` in the stopword patterns goes through
-  ``java_ascii_boundaries`` Spark-side (Java's ``\\b`` counts unicode
-  letters as word chars; RE2/re.ASCII are ASCII).
+* The stopword rule avoids ``\\b`` entirely: tokens are maximal
+  ``[a-z0-9_]+`` runs of the lowercased text in all three engines
+  (Spark ``split``, DuckDB ``string_split_regex``, Python ``re.split``),
+  so the Java-unicode-\\b divergence cannot arise.
 
 Reference parity context: the reference repo (/root/reference, LlmKira/
 fast-langdetect) has no quality rules at all; this module is part of the
@@ -49,8 +64,6 @@ from typing import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from .regex_compat import java_ascii_boundaries
 
 # shared (Java ∩ RE2 ∩ re.ASCII) pattern fragments
 RE_WORD = r"[^ \t\r\n\f]+"
@@ -75,28 +88,24 @@ def _java(pattern: str) -> str:
     return "(?d)" + pattern
 
 
-def gopher_signal_columns(text_col: str = "text") -> dict[str, Column]:
-    c = F.col(text_col)
-    n_words = F.regexp_count(c, F.lit(RE_WORD))
-    words_d = F.greatest(n_words, F.lit(1)).cast("double")
-    # sum of word lengths = chars remaining after deleting all whitespace
-    word_chars = F.length(F.regexp_replace(c, "[ \t\r\n\f]", ""))
-    n_lines = F.size(F.split(c, "\n"))
-    lines_d = n_lines.cast("double")  # split never yields an empty array
-    hits: Column = F.lit(0)
-    for w in REQUIRED_STOPWORDS:
-        pat = java_ascii_boundaries(rf"\b{w}\b")
-        hits = hits + F.when(F.lower(c).rlike(pat), 1).otherwise(0)
-    return {
-        "n_words": n_words,
-        "mean_word_len": word_chars / words_d,
-        "symbol_word_ratio": F.regexp_count(c, F.lit(RE_SYMBOL)) / words_d,
-        "bullet_line_frac": F.regexp_count(c, F.lit(_java(RE_BULLET_LINE)))
-        / lines_d,
-        "ellipsis_line_frac": F.regexp_count(c, F.lit(_java(RE_ELLIPSIS_LINE)))
-        / lines_d,
-        "stopword_hits": hits,
-    }
+# token = maximal run of ASCII word chars; token == stopword is exactly
+# the ASCII-\b-delimited match (both twins below mirror the tokenization)
+RE_STOPWORD_SPLIT = "[^a-z0-9_]+"
+# Spark-side form: ONE delimiter-normalization scan (every non-word run
+# becomes a single space, ends padded) and then 8 plain contains(' w ')
+# probes — ' the ' in the normalized text ⇔ token 'the' exists.  The two
+# tempting regex forms both lose badly at 200k×840B docs: 8 boundary
+# rlikes full-scan stopword-free docs (code!) at ~5 s/scan, and a single
+# regexp_extract_all alternation pays per MATCH (~34 s on stopword-rich
+# English).  The normalize+contains form is match-count- and
+# hit-rate-insensitive: ~2 s + 8 × ~0.4 s.
+#
+# Java perf trap: a NEGATED class with ≥3 components ([^a-z0-9_]) drops
+# Java's regex engine onto a ~20× slower path (34 s vs 2 s for the same
+# replace; [^a-z0-9] is fine, adding the _ is not).  Spark-side we spell
+# the SAME character set as explicit positive ranges; RE2/Python twins
+# keep the readable negated form (identical semantics, fuzz-pinned).
+RE_STOPWORD_SPLIT_JAVA = "[\\x00-\\x2f\\x3a-\\x5e\\x60\\x7b-\\uffff]+"
 
 
 def _pass_expr(cols: Mapping[str, Column]) -> Column:
@@ -107,8 +116,41 @@ def _pass_expr(cols: Mapping[str, Column]) -> Column:
 
 
 def with_gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
-    cols = gopher_signal_columns(text_col)
-    return df.withColumns({**cols, "gopher_quality_pass": _pass_expr(cols)})
+    c = F.col(text_col)
+    # first projection: every text scan exactly once (non-cheap + multiply
+    # referenced, so CollapseProject leaves this projection intact)
+    counters = {
+        "n_words": F.regexp_count(c, F.lit(RE_WORD)),
+        # sum of word lengths = chars remaining after deleting whitespace
+        "_word_chars": F.length(F.regexp_replace(c, "[ \t\r\n\f]", "")),
+        "_n_lines": F.size(F.split(c, "\n")),  # never an empty array
+        "_n_symbols": F.regexp_count(c, F.lit(RE_SYMBOL)),
+        "_n_bullets": F.regexp_count(c, F.lit(_java(RE_BULLET_LINE))),
+        "_n_ellipsis": F.regexp_count(c, F.lit(_java(RE_ELLIPSIS_LINE))),
+        "_stop_norm": F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.lower(c), RE_STOPWORD_SPLIT_JAVA, " "),
+            F.lit(" "),
+        ),
+    }
+    words_d = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    lines_d = F.col("_n_lines").cast("double")
+    hits: Column = F.lit(0)
+    for w in REQUIRED_STOPWORDS:
+        hits = hits + F.col("_stop_norm").contains(f" {w} ").cast("int")
+    derived = {
+        "mean_word_len": F.col("_word_chars") / words_d,
+        "symbol_word_ratio": F.col("_n_symbols") / words_d,
+        "bullet_line_frac": F.col("_n_bullets") / lines_d,
+        "ellipsis_line_frac": F.col("_n_ellipsis") / lines_d,
+        "stopword_hits": hits,
+    }
+    out = df.withColumns(counters).withColumns(derived)
+    bound_cols = {k: F.col(k) for k in GOPHER_BOUNDS}
+    return out.withColumn("gopher_quality_pass", _pass_expr(bound_cols)).drop(
+        "_word_chars", "_n_lines", "_n_symbols", "_n_bullets", "_n_ellipsis",
+        "_stop_norm",
+    )
 
 
 def duckdb_gopher_sql(t: str = "text") -> dict[str, str]:
@@ -117,9 +159,10 @@ def duckdb_gopher_sql(t: str = "text") -> dict[str, str]:
     words_d = f"CAST(greatest({n_words}, 1) AS DOUBLE)"
     word_chars = f"length(regexp_replace({t}, '[ \t\r\n\f]', '', 'g'))"
     lines_d = f"CAST(len(string_split({t}, chr(10))) AS DOUBLE)"
-    hits = " + ".join(
-        f"CASE WHEN regexp_matches(lower({t}), '\\b{w}\\b') THEN 1 ELSE 0 END"
-        for w in REQUIRED_STOPWORDS
+    words = ", ".join(f"'{w}'" for w in REQUIRED_STOPWORDS)
+    hits = (
+        f"len(list_intersect(string_split_regex(lower({t}), "
+        f"'{RE_STOPWORD_SPLIT}'), [{words}]))"
     )
     out = {
         "n_words": n_words,
@@ -156,10 +199,8 @@ def golden_gopher_signals(text: str) -> dict[str, float | int | bool]:
         "bullet_line_frac": len(re.findall(RE_BULLET_LINE, text)) / len(lines),
         "ellipsis_line_frac": len(re.findall(RE_ELLIPSIS_LINE, text))
         / len(lines),
-        "stopword_hits": sum(
-            1
-            for w in REQUIRED_STOPWORDS
-            if re.search(rf"\b{w}\b", low, re.ASCII)
+        "stopword_hits": len(
+            set(re.split(RE_STOPWORD_SPLIT, low)) & set(REQUIRED_STOPWORDS)
         ),
     }
     out["gopher_quality_pass"] = all(
