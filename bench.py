@@ -147,6 +147,36 @@ def q_curation_extras(spark, corpus_path: str):
             "slices": seq["n"]}
 
 
+def q_quality_extras(spark, corpus_path: str):
+    """The round-4 zero-shuffle rule families at 500k scale: unicode
+    normalization, Gopher table-A1 quality signals, and C4 line-level
+    cleaning, composed on ONE corpus scan (all pure WholeStageCodegen
+    maps — no exchange anywhere; the heavy gram-level repetition/span
+    operators are profiled separately in BENCH.md, not here)."""
+    from fast_langdetect_spark.operators.c4 import with_c4_signals
+    from fast_langdetect_spark.operators.gopher import with_gopher_signals
+    from fast_langdetect_spark.operators.normalize import with_normalized_text
+
+    docs = spark.read.parquet(corpus_path).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    out = with_c4_signals(
+        with_gopher_signals(with_normalized_text(docs, collapse_ws=True))
+    )
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("was_normalized").cast("long")).alias("normed"),
+        F.sum(F.col("gopher_quality_pass").cast("long")).alias("gopher_ok"),
+        F.sum(F.col("c4_doc_pass").cast("long")).alias("c4_ok"),
+        F.sum("stopword_hits").alias("stop_hits"),
+        F.sum(F.length("c4_text")).alias("c4_chars"),
+        F.sum("n_words").alias("words"),
+    ).collect()[0]
+    return {"n": row["n"], "normed": row["normed"],
+            "gopher_ok": row["gopher_ok"], "c4_ok": row["c4_ok"]}
+
+
 def _total_busy_jiffies() -> int:
     parts = Path("/proc/stat").read_text().splitlines()[0].split()[1:]
     vals = list(map(int, parts))
@@ -314,6 +344,7 @@ def main() -> None:
         ("quality_native", lambda: q_quality_native(spark, sf_dir)),
         ("scrub_docs", lambda: q_scrub_docs(spark, sf_dir)),
         ("curation_extras", lambda: q_curation_extras(spark, corpus_path)),
+        ("quality_extras", lambda: q_quality_extras(spark, corpus_path)),
     ]
     retries = int(os.environ.get("FLD_BENCH_RETRIES", "2"))
     for name, fn in all_queries:
