@@ -457,6 +457,57 @@ def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# qualifying prose block for the extended-rules curation query: 5 lines,
+# each ≥3 words ending in '.', pushing every augmented doc over the Gopher
+# word-count/stopword bounds and the C4 sentence bound (shared verbatim
+# with the DuckDB oracle)
+_EXT_BLOCK_LINES = (
+    "the curious reader walks beside the quiet river and finds that good"
+    " words have real weight.",
+    "every line here ends with proper marks to satisfy the cleaning rule.",
+    "more plain words arrive to push the count over fifty with ease.",
+    "simple clear prose keeps the mean word length inside bounds.",
+    "one final sentence closes the block with care.",
+)
+
+
+def _q_curation_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation chain with extended_rules: the Gopher table-A1 bounds and
+    C4 doc rules gate the keep decision alongside the base quality rules
+    (plans/curation.py _apply_keep).  Every 3rd doc gains a qualifying
+    prose block (mirrored in the oracle) so the extended gates pass a
+    deterministic subset; unaugmented word-soup docs fail Gopher/C4 and
+    are dropped, exercising the gate both ways."""
+    from fast_langdetect_spark.plans.curation import CurationConfig, curate
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig
+
+    d = F.col("doc_id")
+    block = "\n" + "\n".join(_EXT_BLOCK_LINES)
+    corpus = _docs(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        d.cast("string").alias("path"),
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit(block)).otherwise(F.lit("")),
+        ).alias("content"),
+    )
+    out = curate(
+        corpus,
+        CurationConfig(
+            pipeline=PipelineConfig(n_buckets=16),
+            rules_only=True,
+            extended_rules=True,
+            shard_budget=2000,
+            shard_part_cols=("split", "repo"),
+            shard_order_cols=("repo", "path"),
+        ),
+    )
+    return out.select(
+        "repo", "path", "dedup_sha", "split", "n_chars_scrubbed",
+        "shard_idx", "shard_id",
+    )
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (streaming/dedup.py) drained with availableNow:
     emits the FIRST arrival of each distinct content, so the emitted sha set
@@ -982,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": _q_pack_shards,
         "corpus_sample": _q_corpus_sample,
         "curation": _q_curation,
+        "curation_extended": _q_curation_extended,
         "stream_dedup": _q_stream_dedup,
         "stream_near_dedup": _q_stream_near_dedup,
         "blocklist": _q_blocklist,
@@ -1814,6 +1866,7 @@ def oracle_sql() -> dict[str, str]:
         "line_repetition": _line_repetition_sql(),
         "gopher_quality": _gopher_quality_sql(),
         "c4_clean": _c4_clean_sql(),
+        "curation_extended": _curation_extended_sql(),
     }
     base.update(_signature_cte_oracles())
     return base
@@ -1840,6 +1893,61 @@ def _line_repetition_sql() -> str:
     ]
     rounded = ", ".join(f"round({c}, 6) AS {c}_r" for c in cols)
     return f"SELECT doc_id, {rounded}, is_line_repetitive FROM ({inner})"
+
+
+def _curation_extended_sql() -> str:
+    """The curation CTE chain with the extended keep gate: base quality
+    rules AND Gopher table-A1 pass AND C4 doc pass, over the same
+    deterministically augmented corpus as _q_curation_extended."""
+    from fast_langdetect_spark.operators.c4 import duckdb_c4_sql
+    from fast_langdetect_spark.operators.gopher import duckdb_gopher_sql
+    from fast_langdetect_spark.operators.quality import duckdb_metric_sql
+    from fast_langdetect_spark.operators.sampling import (
+        duckdb_content_split_sql,
+    )
+    from fast_langdetect_spark.operators.scrub import duckdb_scrub_sql
+
+    m = duckdb_metric_sql("text")
+    keep_rules = (
+        f"({m['max_line_len']} <= 1000 AND {m['mean_line_len']} <= 100.0 "
+        f"AND {m['alnum_ratio']} >= 0.25 AND {m['alpha_token_frac']} >= 0.25 "
+        f"AND NOT ({m['n_lines']} >= 20 AND {m['distinct_line_ratio']} < 0.30) "
+        f"AND NOT {m['is_generated']} AND NOT {m['has_toxicity']})"
+    )
+    gopher_pass = duckdb_gopher_sql("text")["gopher_quality_pass"]
+    c4_pass = duckdb_c4_sql("text")["c4_doc_pass"]
+    scrub = duckdb_scrub_sql("text")
+    block_sql = " || ".join(
+        f"chr(10) || '{line}'" for line in _EXT_BLOCK_LINES
+    )
+    return (
+        "WITH aug AS ("
+        "  SELECT source, doc_id, text || CASE WHEN doc_id % 3 = 0 THEN "
+        f"  {block_sql} ELSE '' END AS text FROM documents"
+        "), kept AS ("
+        f"  SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path, "
+        f"  {scrub} AS scrub FROM aug "
+        f"  WHERE {keep_rules} AND {gopher_pass} AND {c4_pass}"
+        "), dedup AS ("
+        "  SELECT repo, path, scrub, ROW_NUMBER() OVER ("
+        "    PARTITION BY sha256(scrub) ORDER BY repo, path) AS rk"
+        "  FROM kept"
+        "), rep AS ("
+        "  SELECT repo, path, scrub, sha256(scrub) AS dedup_sha, "
+        f"  {duckdb_content_split_sql('scrub')} AS split"
+        "  FROM dedup WHERE rk = 1"
+        "), packed AS ("
+        "  SELECT repo, path, dedup_sha, split, "
+        "  CAST(length(scrub) AS INT) AS n_chars_scrubbed, "
+        "  CAST(COALESCE(SUM(length(scrub)) OVER ("
+        "    PARTITION BY split, repo ORDER BY repo, path "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "    // 2000 AS INT) AS shard_idx"
+        "  FROM rep"
+        ") SELECT repo, path, dedup_sha, split, n_chars_scrubbed, "
+        "shard_idx, split || '/' || repo || '/' || "
+        "CAST(shard_idx AS VARCHAR) AS shard_id FROM packed"
+    )
 
 
 def _c4_clean_sql() -> str:

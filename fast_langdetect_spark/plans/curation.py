@@ -36,11 +36,33 @@ from .pipeline import PipelineConfig, run_pipeline
 class CurationConfig:
     pipeline: PipelineConfig = field(default_factory=PipelineConfig)
     rules_only: bool = False  # keep = keep_rules only (fully SQL-expressible)
+    # additionally require the Gopher table-A1 bounds (operators/gopher.py)
+    # and the C4 doc rules (operators/c4.py) — both pure-map signal blocks
+    # that fuse into the scoring stage (zero extra shuffles); their signal
+    # columns are dropped after the gate so the dedup/packing shuffles move
+    # only the original payload
+    extended_rules: bool = False
     shard_budget: int = 100_000  # scrubbed chars per shard
     shard_part_cols: Sequence[str] = ("split", "part_bucket")
     shard_order_cols: Sequence[str] = ("repo", "path")  # unique per bucket
     val_hex: Sequence[str] = ("0",)
     test_hex: Sequence[str] = ("1",)
+
+
+def _apply_keep(scored: DataFrame, base_keep, cfg: "CurationConfig") -> DataFrame:
+    """Filter to kept rows; with extended_rules, also gate on the Gopher +
+    C4 doc passes and drop their signal columns before the dedup shuffle."""
+    if not cfg.extended_rules:
+        return scored.where(base_keep)
+    from ..operators.c4 import with_c4_signals
+    from ..operators.gopher import with_gopher_signals
+
+    before = scored.columns
+    sig = with_c4_signals(with_gopher_signals(scored, "content"), "content")
+    kept = sig.where(
+        base_keep & F.col("gopher_quality_pass") & F.col("c4_doc_pass")
+    )
+    return kept.select(*before)
 
 
 def curate(df: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
@@ -66,10 +88,10 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         scored = with_rule_decision(
             with_quality_metrics(part, "content"), pcfg.quality, "content"
         )
-        kept = scored.where(F.col("keep_rules"))
+        kept = _apply_keep(scored, F.col("keep_rules"), cfg)
     else:
         scored = run_pipeline(df, cfg.pipeline)
-        kept = scored.where(F.col("keep"))
+        kept = _apply_keep(scored, F.col("keep"), cfg)
 
     # exact dedup over the text that would ship (scrubbed), min-(repo,path)
     # representative — single-pass min_by aggregation: one shuffle keyed on

@@ -35,6 +35,26 @@ def test_curation_rules_only_has_no_python_stage(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_curation_extended_rules_add_no_shuffle_or_python(spark):
+    """The Gopher/C4 gates are pure maps: extended_rules must fuse into
+    the existing scoring stage — same Exchange count as the base chain,
+    still zero Python stages, and the signal columns must not leak into
+    the output (they're dropped before the dedup shuffle)."""
+    from fast_langdetect_spark.plans.curation import CurationConfig, curate
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig
+    from fast_langdetect_spark.sources.synth import corpus_df
+
+    corpus = corpus_df(spark, 50, partitions=2)
+    base_cfg = dict(pipeline=PipelineConfig(n_buckets=4), rules_only=True)
+    base = curate(corpus, CurationConfig(**base_cfg))
+    ext = curate(corpus, CurationConfig(**base_cfg, extended_rules=True))
+    base_plan, ext_plan = _plan(base), _plan(ext)
+    assert ext_plan.count("Exchange") == base_plan.count("Exchange")
+    assert "ArrowEvalPython" not in ext_plan and "BatchEvalPython" not in ext_plan
+    assert base.columns == ext.columns
+    assert "gopher_quality_pass" not in ext.columns
+
+
 def test_exact_dedup_has_no_window(spark):
     from fast_langdetect_spark.operators.dedup import exact_duplicates
 
