@@ -893,6 +893,45 @@ def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (operators/spans.py
+    remove_shared_spans — the Lee et al. 2107.06499 action): same
+    augmentation as repeated_spans (license block on every 5th doc, a
+    doc_id-unique trailer on every 7th-mod-1), so rewritten docs lose
+    exactly the block and untouched docs keep their original bytes."""
+    from fast_langdetect_spark.operators.spans import remove_shared_spans
+
+    d = F.col("doc_id")
+    block = (
+        " this block of license text is repeated verbatim across many files"
+    )
+    aug = _docs(spark, sf_dir).select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.when(d % 5 == 0, F.lit(block))
+            .when(
+                d % 7 == 1,
+                F.concat(
+                    F.lit(" unique trailer "),
+                    d.cast("string"),
+                    F.lit(" tail tokens here"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = remove_shared_spans(aug, n_tokens=6)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "n_removed_tokens",
+        F.round("removed_frac", 6).alias("removed_frac_r"),
+        "was_rewritten",
+    )
+
+
 def _q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate line/paragraph fractions (operators/repetition.py
     gopher_line_repetition).  The single-line documents table is
@@ -1048,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "normalize_text": _q_normalize_text,
         "repeated_spans": _q_repeated_spans,
+        "span_removal": _q_span_removal,
         "line_repetition": _q_line_repetition,
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
@@ -1863,6 +1903,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _repetition_sql(),
         "normalize_text": _normalize_sql(),
         "repeated_spans": _repeated_spans_sql(),
+        "span_removal": _span_removal_sql(),
         "line_repetition": _line_repetition_sql(),
         "gopher_quality": _gopher_quality_sql(),
         "c4_clean": _c4_clean_sql(),
@@ -2002,6 +2043,28 @@ def _gopher_quality_sql() -> str:
         f"CAST(({s['stopword_hits']}) AS INT) AS stopword_hits, "
         f"{s['gopher_quality_pass']} AS gopher_quality_pass "
         f"FROM {aug} aug"
+    )
+
+
+def _span_removal_sql() -> str:
+    from fast_langdetect_spark.operators.spans import duckdb_remove_spans_sql
+
+    block = (
+        " this block of license text is repeated verbatim across many files"
+    )
+    aug = f"""(SELECT doc_id,
+      text || CASE
+        WHEN doc_id % 5 = 0 THEN '{block}'
+        WHEN doc_id % 7 = 1 THEN ' unique trailer ' ||
+          CAST(doc_id AS VARCHAR) || ' tail tokens here'
+        ELSE '' END AS text
+    FROM documents)"""
+    inner = duckdb_remove_spans_sql(aug, n_tokens=6)
+    return (
+        "SELECT doc_id, text, CAST(n_tokens AS INT) AS n_tokens, "
+        "n_removed_tokens, round(removed_frac, 6) AS removed_frac_r, "
+        "was_rewritten "
+        f"FROM ({inner})"
     )
 
 

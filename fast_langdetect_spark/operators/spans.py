@@ -136,6 +136,218 @@ def repeated_span_flags(
     )
 
 
+def remove_shared_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: int = 50,
+) -> DataFrame:
+    """Exact-substring span REMOVAL (the Lee et al. 2107.06499 action, not
+    just the flag): every token covered by a cross-document shared n-gram
+    is cut, the remainder re-joined with single spaces.
+
+    Declared deviation (documented, mirrored in twin + golden): removal is
+    TOKEN-level, so a rewritten doc's inter-token whitespace collapses to
+    single spaces.  Untouched documents pass through with their ORIGINAL
+    text byte-for-byte — the pipeline's sha256-equality invariant for
+    unmodified rows holds (north rule), and the common case costs nothing.
+
+    Scale shape on top of repeated_span_flags' gram stage: the covered
+    token-index rows and the token rebuild touch ONLY documents that own
+    at least one shared gram (semi-join gate), so the extra shuffles are
+    proportional to the flagged subset, never the corpus; every stage
+    after the gram window reuses HashPartitioning(id).
+
+    Output: ``id_col``, ``text`` (rewritten or original), ``n_tokens``,
+    ``n_removed_tokens``, ``removed_frac``, ``was_rewritten``.
+    """
+    if n_tokens < 2:
+        raise ValueError("n_tokens must be >= 2")
+    # base carries the ORIGINAL text alongside the token array so the
+    # passthrough path never re-joins the corpus against itself
+    clean = F.regexp_replace(
+        F.col(text_col), f"^{_TOKEN_CLASS}+|{_TOKEN_CLASS}+$", ""
+    )
+    toks = F.split(clean, _TOKEN_SPLIT)
+    toks = F.when(F.length(clean) > 0, toks).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_orig"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n_tokens"),
+    )
+    pos_rows = base.select(
+        "_id", "_toks", F.posexplode("_toks").alias("_pos", "_tok")
+    )
+    parts = [F.col("_tok")] + [
+        F.get("_toks", F.col("_pos") + i) for i in range(1, n_tokens)
+    ]
+    grams = pos_rows.select(
+        "_id",
+        "_pos",
+        F.when(parts[-1].isNotNull(), F.xxhash64(*parts)).alias("_ghash"),
+    ).where(F.col("_ghash").isNotNull())
+    w_gram = Window.partitionBy("_ghash")
+    shared = (
+        grams.withColumns(
+            {"_mn": F.min("_id").over(w_gram), "_mx": F.max("_id").over(w_gram)}
+        )
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("_id", "_pos")
+    )
+    # covered token indices, only for flagged docs (distinct reuses the
+    # id-hash partitioning; interval explode is n_tokens rows per shared
+    # position BEFORE distinct, bounded by the flagged docs' token counts)
+    covered = shared.select(
+        "_id",
+        F.explode(
+            F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n_tokens - 1))
+        ).alias("_ti"),
+    ).distinct()
+    # rebuild = only flagged docs' tokens (semi-join gate on the tiny
+    # flagged-id set), anti-joined against their covered indices
+    flagged_ids = covered.select("_id").distinct()
+    flagged_tokens = pos_rows.select("_id", "_pos", "_tok").join(
+        flagged_ids, "_id", "left_semi"
+    )
+    kept_tokens = flagged_tokens.join(
+        covered,
+        (flagged_tokens["_id"] == covered["_id"])
+        & (flagged_tokens["_pos"] == covered["_ti"]),
+        "left_anti",
+    )
+    rebuilt = kept_tokens.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("_new_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    # a fully-covered doc has NO kept tokens: flagged but absent from
+    # rebuilt — coalesce to the empty string via the flagged marker
+    out = (
+        base.select("_id", "_orig", "_n_tokens")
+        .join(flagged_ids.withColumn("_flag", F.lit(True)), "_id", "left")
+        .join(rebuilt, "_id", "left")
+    )
+    n_kept = F.when(
+        F.col("_flag").isNotNull(), F.coalesce(F.col("_n_kept"), F.lit(0))
+    ).otherwise(F.col("_n_tokens"))
+    removed = (F.col("_n_tokens") - n_kept).cast("int")
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.when(F.col("_flag").isNotNull(), F.coalesce("_new_text", F.lit("")))
+        .otherwise(F.col("_orig"))
+        .alias("text"),
+        F.col("_n_tokens").alias("n_tokens"),
+        removed.alias("n_removed_tokens"),
+        (
+            removed.cast("double")
+            / F.greatest(F.col("_n_tokens"), F.lit(1)).cast("double")
+        ).alias("removed_frac"),
+        F.col("_flag").isNotNull().alias("was_rewritten"),
+    )
+
+
+def duckdb_remove_spans_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: int = 50,
+) -> str:
+    """DuckDB twin of :func:`remove_shared_spans` (raw-gram keys)."""
+    n = n_tokens
+    return f"""
+WITH toklists AS (
+  SELECT {id_col} AS id, {text_col} AS orig,
+         list_filter(regexp_split_to_array({text_col},
+                     '[ \t\r\n\f]+'), x -> x <> '') AS toks
+  FROM {table}
+), grams AS (
+  SELECT id, pos, array_to_string(toks[pos:pos + {n - 1}], ' ') AS gram
+  FROM (SELECT id, toks,
+               unnest(range(1, greatest(len(toks) - {n} + 1, 0) + 1)) AS pos
+        FROM toklists)
+), shared AS (
+  SELECT id, pos FROM (
+    SELECT id, pos,
+           MIN(id) OVER (PARTITION BY gram) AS mn,
+           MAX(id) OVER (PARTITION BY gram) AS mx
+    FROM grams
+  ) WHERE mn <> mx
+), covered AS (
+  SELECT DISTINCT id, unnest(range(pos, pos + {n})) AS ti FROM shared
+), rebuilt AS (
+  SELECT t.id,
+         string_agg(t.tok, ' ' ORDER BY t.pos) FILTER (
+           WHERE c.ti IS NULL) AS new_text,
+         COUNT(*) FILTER (WHERE c.ti IS NULL) AS n_kept
+  FROM (SELECT id, pos, toks[pos] AS tok
+        FROM (SELECT id, toks,
+                     unnest(range(1, len(toks) + 1)) AS pos
+              FROM toklists
+              WHERE id IN (SELECT id FROM covered))) t
+  LEFT JOIN covered c ON c.id = t.id AND c.ti = t.pos
+  GROUP BY t.id
+)
+SELECT t.id AS {id_col},
+       CASE WHEN r.id IS NOT NULL THEN COALESCE(r.new_text, '')
+            ELSE t.orig END AS text,
+       COALESCE(len(t.toks), 0) AS n_tokens,
+       CAST(COALESCE(len(t.toks), 0) -
+            CASE WHEN r.id IS NOT NULL THEN COALESCE(r.n_kept, 0)
+                 ELSE COALESCE(len(t.toks), 0) END AS INT)
+         AS n_removed_tokens,
+       (COALESCE(len(t.toks), 0) -
+            CASE WHEN r.id IS NOT NULL THEN COALESCE(r.n_kept, 0)
+                 ELSE COALESCE(len(t.toks), 0) END)
+         / CAST(greatest(COALESCE(len(t.toks), 0), 1) AS DOUBLE)
+         AS removed_frac,
+       r.id IS NOT NULL AS was_rewritten
+FROM toklists t LEFT JOIN rebuilt r ON r.id = t.id
+"""
+
+
+def golden_remove_spans(
+    docs: dict[int, str], *, n_tokens: int = 50
+) -> dict[int, dict]:
+    """Scalar golden: covered-set removal over the same gram definition."""
+    import re
+
+    tok = {
+        i: [t for t in re.split("[ \t\r\n\f]+", s, flags=re.ASCII) if t]
+        for i, s in docs.items()
+    }
+    gram_owners: dict[tuple, set] = {}
+    for i, ts in tok.items():
+        for p in range(len(ts) - n_tokens + 1):
+            gram_owners.setdefault(tuple(ts[p : p + n_tokens]), set()).add(i)
+    out = {}
+    for i, ts in tok.items():
+        covered: set[int] = set()
+        for p in range(len(ts) - n_tokens + 1):
+            if len(gram_owners[tuple(ts[p : p + n_tokens])]) > 1:
+                covered.update(range(p, p + n_tokens))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        out[i] = {
+            "text": " ".join(kept) if covered else docs[i],
+            "n_tokens": len(ts),
+            "n_removed_tokens": len(ts) - len(kept) if covered else 0,
+            "removed_frac": (
+                (len(ts) - len(kept)) / max(len(ts), 1) if covered else 0.0
+            ),
+            "was_rewritten": bool(covered),
+        }
+    return out
+
+
 def duckdb_repeated_span_sql(
     table: str = "documents",
     *,

@@ -135,3 +135,102 @@ def test_plan_no_token_row_shuffle_before_gram_build(spark):
     tail = plan[plan.index("Generate posexplode"):]
     assert "Exchange" not in tail, tail[:400]  # nothing below the Generate
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+# ----------------------------------------------------- span REMOVAL variant
+
+from fast_langdetect_spark.operators.spans import (  # noqa: E402
+    duckdb_remove_spans_sql,
+    golden_remove_spans,
+    remove_shared_spans,
+)
+
+RM_COLS = ("text", "n_tokens", "n_removed_tokens", "removed_frac",
+           "was_rewritten")
+
+
+def _rm_spark(spark, docs, **kw):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: r.asDict() for r in remove_shared_spans(df, **kw).collect()
+    }
+
+
+def _rm_duck(docs, **kw):
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}),
+    )
+    rows = con.sql(duckdb_remove_spans_sql(**kw)).fetchdf().to_dict("records")
+    return {r["doc_id"]: r for r in rows}
+
+
+def _rm_assert(spark, docs, **kw):
+    got = _rm_spark(spark, docs, **kw)
+    duck = _rm_duck(docs, **kw)
+    gold = golden_remove_spans(docs, **kw)
+    assert set(got) == set(duck) == set(gold) == set(docs)
+    for i in docs:
+        for c in RM_COLS:
+            g, d, o = gold[i][c], duck[i][c], got[i][c]
+            if c == "removed_frac":
+                assert abs(o - g) < 1e-12 and abs(d - g) < 1e-12, (i, o, d, g)
+            elif c == "was_rewritten":
+                assert bool(o) == g == bool(d), (i, c, o, g, d)
+            else:
+                assert o == g == d, (i, c, repr(o), repr(g), repr(d))
+
+
+def test_remove_shared_block(spark):
+    block = "x1 x2 x3 x4 x5 x6"
+    docs = {
+        1: f"alpha beta {block} gamma delta",
+        2: f"start words {block} more tail here",
+        3: "totally unrelated content with\tweird   spacing kept verbatim",
+    }
+    _rm_assert(spark, docs, n_tokens=6)
+    got = _rm_spark(spark, docs, n_tokens=6)
+    # shared block cut, remainder single-space joined
+    assert got[1]["text"] == "alpha beta gamma delta"
+    assert got[1]["n_removed_tokens"] == 6 and got[1]["was_rewritten"]
+    # untouched doc keeps ORIGINAL whitespace byte-for-byte (sha invariant)
+    assert got[3]["text"] == docs[3] and not got[3]["was_rewritten"]
+
+
+def test_remove_fully_covered_doc_becomes_empty(spark):
+    sh = "s1 s2 s3 s4"
+    docs = {1: sh, 2: f"{sh} unique tail tokens", 3: "other stuff entirely"}
+    _rm_assert(spark, docs, n_tokens=4)
+    got = _rm_spark(spark, docs, n_tokens=4)
+    assert got[1]["text"] == "" and got[1]["n_removed_tokens"] == 4
+
+
+def test_remove_overlapping_spans_union(spark):
+    # doc 1 shares two OVERLAPPING 4-gram windows with docs 2 and 3
+    docs = {
+        1: "a b c d e unique1 unique2",
+        2: "a b c d tail2 words here",
+        3: "b c d e tail3 words here",
+    }
+    _rm_assert(spark, docs, n_tokens=4)
+    got = _rm_spark(spark, docs, n_tokens=4)
+    assert got[1]["text"] == "unique1 unique2"
+    assert got[1]["n_removed_tokens"] == 5  # union of [0,4) and [1,5)
+
+
+def test_remove_fuzz_engines_agree(spark):
+    rng = random.Random(20260819)
+    vocab = [f"w{i}" for i in range(12)]
+    shared_block = "sb1 sb2 sb3 sb4 sb5"
+    docs = {}
+    for i in range(30):
+        k = rng.randrange(0, 14)
+        words = [rng.choice(vocab) for _ in range(k)]
+        if i % 3 == 0:
+            words.insert(rng.randrange(0, len(words) + 1), shared_block)
+        docs[i] = " ".join(words)
+    _rm_assert(spark, docs, n_tokens=5)
+    _rm_assert(spark, docs, n_tokens=3)
