@@ -158,3 +158,38 @@ def test_golden_normalize_idempotent_and_clean(text, collapse):
     assert not re.search(CONTROL_RE, once)
     deleted = set(FOLD_SRC[len(FOLD_DST):])
     assert not (set(once) & deleted)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "d4", "e"]), max_size=14)
+        .map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_golden_remove_spans_invariants(texts, n):
+    from fast_langdetect_spark.operators.spans import (
+        golden_remove_spans,
+        golden_repeated_spans,
+    )
+
+    docs = dict(enumerate(texts))
+    out = golden_remove_spans(docs, n_tokens=n)
+    flags = golden_repeated_spans(docs, n_tokens=n, max_shared_frac=0.0)
+    for i, r in out.items():
+        toks = [t for t in re.split("[ \t\r\n\f]+", docs[i]) if t]
+        kept = [t for t in re.split("[ \t\r\n\f]+", r["text"]) if t]
+        # kept tokens are a subsequence of the originals
+        it = iter(toks)
+        assert all(any(t == o for o in it) for t in kept)
+        assert r["n_removed_tokens"] == len(toks) - len(kept)
+        assert 0.0 <= r["removed_frac"] <= 1.0
+        # rewritten ⇔ the flags variant found shared coverage
+        assert r["was_rewritten"] == (flags[i]["covered_tokens"] > 0)
+        if r["was_rewritten"]:
+            assert r["n_removed_tokens"] == flags[i]["covered_tokens"]
+        else:
+            assert r["text"] == docs[i]  # byte-identical passthrough
