@@ -763,6 +763,30 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8)
 
 
+def _q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (operators/decontam.py
+    decontaminate_spans): benchmark-overlapping 8-gram spans are CUT
+    (original case preserved, single-space rejoin) instead of dropping
+    whole docs; clean docs pass through byte-for-byte.  Benchmark = docs
+    with doc_id % 7 == 3, same as the `decontaminate` query."""
+    from fast_langdetect_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = benchmark_ngrams(docs.where(F.col("doc_id") % 7 == 3), n=8)
+    out = decontaminate_spans(docs, bench, n=8)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "n_removed_tokens",
+        F.round("removed_frac", 6).alias("removed_frac_r"),
+        "was_decontaminated",
+    )
+
+
 def _q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-smoothed domain mixture weights (operators/mixture.py,
     XLM-R alpha=0.3 recipe) over the lang column, char-weighted.  Floats
@@ -1082,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_exact_dups": _q_incr_exact_dups,
         "incr_near_dups": _q_incr_near_dups,
         "decontaminate": _q_decontaminate,
+        "decontam_spans": _q_decontam_spans,
         "domain_mixture": _q_domain_mixture,
         "mixture_resample": _q_mixture_resample,
         "gopher_repetition": _q_gopher_repetition,
@@ -1898,6 +1923,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents n WHERE n.doc_id >= 250"
         ),
         "decontaminate": _decontam_sql(),
+        "decontam_spans": _decontam_spans_sql(),
         "domain_mixture": _mixture_sql(),
         "mixture_resample": _resample_sql(),
         "gopher_repetition": _repetition_sql(),
@@ -2177,6 +2203,24 @@ def _pack_sequences_sql() -> str:
     return duckdb_pack_sequences_sql(
         "documents", tokens_col="n_chars", part_col="source",
         order_col="doc_id", context_len=500,
+    )
+
+
+def _decontam_spans_sql() -> str:
+    from fast_langdetect_spark.operators.decontam import (
+        duckdb_decontaminate_spans_sql,
+    )
+
+    inner = duckdb_decontaminate_spans_sql(
+        "documents",
+        "SELECT * FROM documents WHERE doc_id % 7 = 3",
+        n=8,
+    )
+    return (
+        "SELECT doc_id, text, CAST(n_tokens AS INT) AS n_tokens, "
+        "n_removed_tokens, round(removed_frac, 6) AS removed_frac_r, "
+        "was_decontaminated "
+        f"FROM ({inner})"
     )
 
 

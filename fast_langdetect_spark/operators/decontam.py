@@ -169,6 +169,107 @@ def decontaminate(
     )
 
 
+def decontaminate_spans(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Span-level decontamination: CUT the benchmark-overlapping n-gram
+    spans instead of dropping whole documents (the surgical variant of
+    :func:`decontaminate` — open-data practice when a doc merely quotes a
+    benchmark item; same action as spans.remove_shared_spans but against
+    an external gram set, not the corpus itself).
+
+    Gram keys use the repo decontam dialect (LOWERCASED tokens); removal
+    cuts the ORIGINAL-case tokens at the matched positions — lowercasing
+    never alters the ASCII-whitespace token boundaries, so positions align
+    by construction.  Untouched docs pass their original text through
+    byte-for-byte (sha256 invariant); rewritten docs re-join kept tokens
+    with single spaces (same declared deviation as remove_shared_spans).
+
+    Scale shape: map-side gram build (no corpus shuffle), broadcast
+    benchmark join; covered-index rows / the rebuild touch only docs with
+    ≥1 hit.  Output: ``id_col``, ``text``, ``n_tokens``,
+    ``n_removed_tokens``, ``removed_frac``, ``was_decontaminated``.
+    """
+    raw_toks = F.array_remove(F.split(F.col(text_col), TOKEN_SPLIT), "")
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_orig"),
+        raw_toks.alias("_rtoks"),
+        tokens_col(text_col).alias("_ltoks"),
+    ).withColumn("_n_tokens", F.size("_rtoks"))
+    positions = F.when(
+        F.size(F.col("_ltoks")) >= n,
+        F.sequence(F.lit(1), F.size(F.col("_ltoks")) - n + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    gram_pos = base.select(
+        "_id", "_ltoks", F.explode(positions).alias("_pos")
+    ).select(
+        "_id",
+        "_pos",
+        F.xxhash64(F.slice(F.col("_ltoks"), F.col("_pos"), n)).alias(
+            "gram_key"
+        ),
+    )
+    bench = F.broadcast(bench_grams) if broadcast_bench else bench_grams
+    hit_pos = gram_pos.join(bench, "gram_key").select("_id", "_pos")
+    covered = hit_pos.select(
+        "_id",
+        F.explode(
+            F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))
+        ).alias("_ti"),
+    ).distinct()
+    flagged_ids = covered.select("_id").distinct()
+    doc_tokens = (
+        base.select("_id", F.posexplode("_rtoks").alias("_p0", "_tok"))
+        .select("_id", (F.col("_p0") + 1).alias("_pos"), "_tok")
+        .join(flagged_ids, "_id", "left_semi")
+    )
+    kept_tokens = doc_tokens.join(
+        covered,
+        (doc_tokens["_id"] == covered["_id"])
+        & (doc_tokens["_pos"] == covered["_ti"]),
+        "left_anti",
+    )
+    rebuilt = kept_tokens.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("_new_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    out = (
+        base.select("_id", "_orig", "_n_tokens")
+        .join(flagged_ids.withColumn("_flag", F.lit(True)), "_id", "left")
+        .join(rebuilt, "_id", "left")
+    )
+    n_kept = F.when(
+        F.col("_flag").isNotNull(), F.coalesce(F.col("_n_kept"), F.lit(0))
+    ).otherwise(F.col("_n_tokens"))
+    removed = (F.col("_n_tokens") - n_kept).cast("int")
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.when(F.col("_flag").isNotNull(), F.coalesce("_new_text", F.lit("")))
+        .otherwise(F.col("_orig"))
+        .alias("text"),
+        F.col("_n_tokens").alias("n_tokens"),
+        removed.alias("n_removed_tokens"),
+        (
+            removed.cast("double")
+            / F.greatest(F.col("_n_tokens"), F.lit(1)).cast("double")
+        ).alias("removed_frac"),
+        F.col("_flag").isNotNull().alias("was_decontaminated"),
+    )
+
+
 # --------------------------------------------------------------- DuckDB twin
 
 
@@ -234,6 +335,110 @@ SELECT d.{id_col} AS {id_col},
        COALESCE(h.n_hit_ngrams, 0) >= {min_overlap} AS contaminated
 FROM {docs_table} d LEFT JOIN hits h ON h.id = d.{id_col}
 """
+
+
+def duckdb_decontaminate_spans_sql(
+    docs_table: str = "documents",
+    bench_sql: str = "SELECT * FROM documents WHERE doc_id % 7 = 3",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> str:
+    """DuckDB twin of :func:`decontaminate_spans` (raw space-joined gram
+    keys over LOWERCASED tokens; removal over the original-case tokens)."""
+    bench_cte = duckdb_ngram_keys_cte(
+        "bench_docs", id_col=id_col, text_col=text_col, n=n,
+        cte_name="bench_grams_all",
+    )
+    return f"""
+WITH bench_docs AS ({bench_sql}),
+{bench_cte},
+bench_grams AS (SELECT DISTINCT gram_key FROM bench_grams_all),
+tok AS (
+  SELECT {id_col} AS id, {text_col} AS orig,
+         list_filter(regexp_split_to_array({text_col}, '[ \t\r\n\f]+'),
+                     x -> x <> '') AS rtoks,
+         list_filter(regexp_split_to_array(lower({text_col}), '[ \t\r\n\f]+'),
+                     x -> x <> '') AS ltoks
+  FROM {docs_table}
+), gram_pos AS (
+  SELECT id, pos, array_to_string(ltoks[pos:pos + {n - 1}], ' ') AS gram_key
+  FROM (SELECT id, ltoks,
+               unnest(range(1, greatest(len(ltoks) - {n} + 1, 0) + 1)) AS pos
+        FROM tok)
+), hits AS (
+  SELECT DISTINCT g.id, g.pos
+  FROM gram_pos g JOIN bench_grams USING (gram_key)
+), covered AS (
+  SELECT DISTINCT id, unnest(range(pos, pos + {n})) AS ti FROM hits
+), rebuilt AS (
+  SELECT t.id,
+         string_agg(t.tok, ' ' ORDER BY t.pos) FILTER (
+           WHERE c.ti IS NULL) AS new_text,
+         COUNT(*) FILTER (WHERE c.ti IS NULL) AS n_kept
+  FROM (SELECT id, pos, rtoks[pos] AS tok
+        FROM (SELECT id, rtoks,
+                     unnest(range(1, len(rtoks) + 1)) AS pos
+              FROM tok
+              WHERE id IN (SELECT id FROM covered))) t
+  LEFT JOIN covered c ON c.id = t.id AND c.ti = t.pos
+  GROUP BY t.id
+)
+SELECT t.id AS {id_col},
+       CASE WHEN r.id IS NOT NULL THEN COALESCE(r.new_text, '')
+            ELSE t.orig END AS text,
+       COALESCE(len(t.rtoks), 0) AS n_tokens,
+       CAST(COALESCE(len(t.rtoks), 0) -
+            CASE WHEN r.id IS NOT NULL THEN COALESCE(r.n_kept, 0)
+                 ELSE COALESCE(len(t.rtoks), 0) END AS INT)
+         AS n_removed_tokens,
+       (COALESCE(len(t.rtoks), 0) -
+            CASE WHEN r.id IS NOT NULL THEN COALESCE(r.n_kept, 0)
+                 ELSE COALESCE(len(t.rtoks), 0) END)
+         / CAST(greatest(COALESCE(len(t.rtoks), 0), 1) AS DOUBLE)
+         AS removed_frac,
+       r.id IS NOT NULL AS was_decontaminated
+FROM tok t LEFT JOIN rebuilt r ON r.id = t.id
+"""
+
+
+def golden_decontaminate_spans(
+    docs: dict[int, str], bench_texts: list, *, n: int = 8
+) -> dict[int, dict]:
+    """Scalar golden: benchmark gram set over lowercased tokens; removal
+    over the original-case tokens at hit positions."""
+    import re
+
+    def ltok(s):
+        return [t for t in re.split("[ \t\r\n\f]+", s.lower()) if t]
+
+    def rtok(s):
+        return [t for t in re.split("[ \t\r\n\f]+", s) if t]
+
+    bench = set()
+    for s in bench_texts:
+        ts = ltok(s)
+        for p in range(len(ts) - n + 1):
+            bench.add(tuple(ts[p : p + n]))
+    out = {}
+    for i, s in docs.items():
+        lts, rts = ltok(s), rtok(s)
+        covered: set[int] = set()
+        for p in range(len(lts) - n + 1):
+            if tuple(lts[p : p + n]) in bench:
+                covered.update(range(p, p + n))
+        kept = [t for j, t in enumerate(rts) if j not in covered]
+        out[i] = {
+            "text": " ".join(kept) if covered else s,
+            "n_tokens": len(rts),
+            "n_removed_tokens": len(rts) - len(kept) if covered else 0,
+            "removed_frac": (
+                (len(rts) - len(kept)) / max(len(rts), 1) if covered else 0.0
+            ),
+            "was_decontaminated": bool(covered),
+        }
+    return out
 
 
 # ------------------------------------------------------- map-side / streaming

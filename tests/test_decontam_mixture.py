@@ -1,6 +1,7 @@
 """Benchmark decontamination + domain-mixture resampling operators."""
 
 import duckdb
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -248,3 +249,91 @@ def test_decontaminate_map_side_streams(spark, tmp_path):
     got = sorted(map(str, spark.table(name).collect()))
     want = sorted(map(str, decontaminate(docs, bench, n=8).collect()))
     assert got == want
+
+
+# ---------------------------------------------------- span-level decontam
+
+def test_decontaminate_spans_three_engines(spark):
+    from fast_langdetect_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate_spans,
+        duckdb_decontaminate_spans_sql,
+        golden_decontaminate_spans,
+    )
+
+    bench_item = "What Is The Capital Of France Paris Obviously"  # 8 tokens
+    docs = {
+        1: f"intro words then {bench_item} and a tail here",   # mid-doc hit
+        2: bench_item.lower(),                                  # case-insensitive full hit
+        3: "completely unrelated content with\tweird   spacing kept",
+        4: "what is the capital of france paris NOPE broken gram",  # 7-overlap only
+    }
+    bench_texts = [bench_item]
+    ddf = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame([(t,) for t in bench_texts], "text string")
+    out = decontaminate_spans(ddf, benchmark_ngrams(bdf, n=8), n=8)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}),
+    )
+    con.register("bench_t", pd.DataFrame({"text": bench_texts}))
+    duck = {
+        r["doc_id"]: r
+        for r in con.sql(
+            duckdb_decontaminate_spans_sql(
+                bench_sql="SELECT 0 AS doc_id, text FROM bench_t", n=8
+            )
+        ).fetchdf().to_dict("records")
+    }
+    gold = golden_decontaminate_spans(docs, bench_texts, n=8)
+    for i in docs:
+        for c in ("text", "n_tokens", "n_removed_tokens", "removed_frac",
+                  "was_decontaminated"):
+            g, d, o = gold[i][c], duck[i][c], got[i][c]
+            if c == "removed_frac":
+                assert abs(o - g) < 1e-12 and abs(d - g) < 1e-12, (i, o, d, g)
+            elif c == "was_decontaminated":
+                assert bool(o) == g == bool(d), (i, o, g, d)
+            else:
+                assert o == g == d, (i, c, repr(o), repr(g), repr(d))
+    # original case preserved in kept tokens; benchmark span cut
+    assert got[1]["text"] == "intro words then and a tail here"
+    assert got[1]["n_removed_tokens"] == 8
+    assert got[2]["text"] == "" and got[2]["was_decontaminated"]
+    assert got[3]["text"] == docs[3]  # byte-identical passthrough
+    assert not got[4]["was_decontaminated"]  # 7-gram overlap < n
+
+
+def test_decontaminate_spans_fuzz(spark):
+    import random
+
+    from fast_langdetect_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate_spans,
+        golden_decontaminate_spans,
+    )
+
+    rng = random.Random(20260820)
+    vocab = ["Alpha", "beta", "GAMMA", "delta", "x1", "Y2"]
+    bench_texts = ["q1 q2 q3 q4", "z1 z2 z3 z4 z5"]
+    docs = {}
+    for i in range(25):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(0, 12))]
+        if i % 4 == 0:
+            words.insert(rng.randrange(0, len(words) + 1), "Q1 Q2 q3 q4")
+        docs[i] = " ".join(words)
+    ddf = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame([(t,) for t in bench_texts], "text string")
+    out = decontaminate_spans(ddf, benchmark_ngrams(bdf, n=4), n=4)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    gold = golden_decontaminate_spans(docs, bench_texts, n=4)
+    for i in docs:
+        assert got[i]["text"] == gold[i]["text"], (i, docs[i])
+        assert got[i]["n_removed_tokens"] == gold[i]["n_removed_tokens"]
