@@ -147,3 +147,52 @@ def test_streaming_near_dedup_matches_batch_and_covers_lsh_pairs(spark, tmp_path
             f"pair ({r['id_a']},{r['id_b']}) reported by batch LSH but "
             "larger id not suppressed in-stream"
         )
+
+
+def test_streaming_quality_rule_maps_match_batch(spark, tmp_path):
+    """gopher/c4/normalize are stateless WholeStageCodegen maps, so they
+    compose into readStream unchanged — streaming output ≡ batch output
+    row-for-row (the streaming counterpart of the quality_extras basket)."""
+    from fast_langdetect_spark.operators.c4 import with_c4_signals
+    from fast_langdetect_spark.operators.gopher import with_gopher_signals
+    from fast_langdetect_spark.operators.normalize import with_normalized_text
+
+    src = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quiet river flows past and people have watched it.\n- item"),
+            (2, "short"),
+            (3, "Enable javascript now.\nreal sentence with proper words here."),
+            (4, "lorem ipsum dolor…  “quoted” text\nthe end of it all."),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(src)
+
+    def chain(df):
+        out = with_c4_signals(
+            with_gopher_signals(with_normalized_text(df, collapse_ws=True))
+        )
+        return out.select(
+            "doc_id", "norm_text", "n_words", "stopword_hits",
+            "gopher_quality_pass", "c4_text", "n_sentences", "c4_doc_pass",
+        )
+
+    batch = {r["doc_id"]: r for r in chain(spark.read.parquet(src)).collect()}
+    stream = chain(
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("quality_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql("SELECT * FROM quality_stream").collect()
+    }
+    assert set(got) == set(batch)
+    for i, b in batch.items():
+        assert got[i].asDict() == b.asDict(), i
