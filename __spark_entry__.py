@@ -1029,6 +1029,41 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fineweb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb custom filters (operators/fineweb.py, Penedo et al.
+    2406.17557 §3.4): punct-terminated line fraction, short-line fraction,
+    duplicated-line char fraction.  Deterministic augmentation (mirrored
+    in the oracle): every 3rd doc gains long punct-terminated lines
+    (passes), every 4th-mod-1 a duplicated long line pair (dup chars),
+    every 4th-mod-2 short fragments (short-line pressure)."""
+    from fast_langdetect_spark.operators.fineweb import with_fineweb_signals
+
+    d = F.col("doc_id")
+    longline = (
+        "this is a sufficiently long line that ends with proper punctuation"
+        " for the fineweb rule."
+    )
+    dupline = "this exact long duplicated line appears twice in this doc"
+    aug = _docs(spark, sf_dir).select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit(f"\n{longline}\n{longline}"))
+            .when(d % 4 == 1, F.lit(f"\n{dupline}\n{dupline}"))
+            .when(d % 4 == 2, F.lit("\nx\ny\nz"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = with_fineweb_signals(aug)
+    return out.select(
+        "doc_id",
+        F.round("punct_line_frac", 6).alias("punct_line_frac_r"),
+        F.round("short_line_frac", 6).alias("short_line_frac_r"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac_r"),
+        "fineweb_quality_pass",
+    )
+
+
 def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (operators/c4.py, Raffel et al. 1910.10683
     §2.2): terminal-punctuation line filter, ≥3-word lines, javascript-line
@@ -1116,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_repetition": _q_line_repetition,
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
+        "fineweb_quality": _q_fineweb_quality,
     }
 
 
@@ -1934,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_quality_sql(),
         "c4_clean": _c4_clean_sql(),
         "curation_extended": _curation_extended_sql(),
+        "fineweb_quality": _fineweb_quality_sql(),
     }
     base.update(_signature_cte_oracles())
     return base
@@ -2014,6 +2051,33 @@ def _curation_extended_sql() -> str:
         ") SELECT repo, path, dedup_sha, split, n_chars_scrubbed, "
         "shard_idx, split || '/' || repo || '/' || "
         "CAST(shard_idx AS VARCHAR) AS shard_id FROM packed"
+    )
+
+
+def _fineweb_quality_sql() -> str:
+    from fast_langdetect_spark.operators.fineweb import duckdb_fineweb_sql
+
+    nl = "chr(10)"
+    longline = (
+        "this is a sufficiently long line that ends with proper punctuation"
+        " for the fineweb rule."
+    )
+    dupline = "this exact long duplicated line appears twice in this doc"
+    aug = f"""(SELECT doc_id,
+      text || CASE
+        WHEN doc_id % 3 = 0 THEN {nl} || '{longline}' || {nl} || '{longline}'
+        WHEN doc_id % 4 = 1 THEN {nl} || '{dupline}' || {nl} || '{dupline}'
+        WHEN doc_id % 4 = 2 THEN {nl} || 'x' || {nl} || 'y' || {nl} || 'z'
+        ELSE '' END AS text
+    FROM documents)"""
+    inner = duckdb_fineweb_sql(aug)
+    return (
+        "SELECT doc_id, "
+        "round(punct_line_frac, 6) AS punct_line_frac_r, "
+        "round(short_line_frac, 6) AS short_line_frac_r, "
+        "round(dup_line_char_frac, 6) AS dup_line_char_frac_r, "
+        "fineweb_quality_pass "
+        f"FROM ({inner})"
     )
 
 

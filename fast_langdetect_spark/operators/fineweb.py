@@ -1,0 +1,193 @@
+"""FineWeb custom quality filters (Penedo et al. arXiv:2406.17557 §3.4).
+
+The three FineWeb filters that are NOT already covered by the Gopher
+(operators/gopher.py) or C4 (operators/c4.py) rule sets:
+
+==============================  ==========================  =============
+filter                          metric here                 FineWeb bound
+==============================  ==========================  =============
+punctuation-terminated lines    ``punct_line_frac``         ≥ 0.12
+short lines (< 30 chars)        ``short_line_frac``         ≤ 0.67
+chars in duplicated lines       ``dup_line_char_frac``      ≤ 0.10
+==============================  ==========================  =============
+
+``fineweb_quality_pass`` = all three bounds hold.  The third metric is the
+char-weighted duplicate-line fraction already implemented by
+``repetition.gopher_line_repetition`` — here recomputed on the SAME
+raw-line identity (no trim) via a per-doc aggregate so the operator stays
+self-contained; the line family's one-repartition shape applies.
+
+Execution shape: the two fraction metrics are pure WholeStageCodegen maps
+(regexp_count arithmetic, the operators/gopher.py conventions: ``(?d)``
+UNIX_LINES guard on Spark-side multiline patterns, explicit ASCII classes,
+counters materialized once in a first projection; the short-line count is
+a line-anchored regex, not a per-line lambda).  The duplicate-line metric
+is the explode → (id, line) → (id) aggregate family: the second groupBy
+reuses the first's HashPartitioning(id), and the join back onto the doc
+rows shuffles the corpus by id once (per_doc is one row per doc).  Net:
+two id-hash exchanges and a second source scan for the line branch —
+the same budget as repetition.gopher_line_repetition.
+
+Reference parity context: /root/reference has no quality rules; public
+FineWeb paper is the spec (training-pipeline extension mandate).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# shared (Java ∩ RE2 ∩ re.ASCII) fragments; (?d) added Spark-side only
+RE_PUNCT_LINE = r'(?m)[.!?"”][ \t]*$'  # line ends with terminal punct
+SHORT_LINE_CHARS = 30
+# Short lines are counted as n_lines − n_long_lines, NOT by matching short
+# lines directly: Java's (?m)^ never matches at end-of-input, so a direct
+# short-line pattern misses the empty final line after a trailing \n (and
+# the empty string) where RE2/Python count it.  A LONG line is nonempty,
+# so its start can never sit at end-of-input — the count below is
+# dialect-safe.  `.` is one code point in Java, RE2 and Python alike,
+# matching F.length's code-point semantics.
+RE_LONG_LINE = r"(?m)^.{%d,}$" % SHORT_LINE_CHARS
+
+FINEWEB_BOUNDS: dict[str, tuple[float, float]] = {
+    "punct_line_frac": (0.12, 1.0),
+    "short_line_frac": (0.0, 0.67),
+    "dup_line_char_frac": (0.0, 0.10),
+}
+
+
+def _pass_expr(cols: Mapping[str, Column]) -> Column:
+    flag = F.lit(True)
+    for name, (lo, hi) in FINEWEB_BOUNDS.items():
+        flag = flag & (cols[name] >= lo) & (cols[name] <= hi)
+    return flag
+
+
+def with_fineweb_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Adds punct_line_frac, short_line_frac, dup_line_char_frac and
+    fineweb_quality_pass.  One repartition-by-id shuffle (the dup-line
+    aggregate); the two frac metrics ride along as a pure map."""
+    c = F.col(text_col)
+    counters = {
+        "_n_lines": F.size(F.split(c, "\n")),
+        "_n_punct_lines": F.regexp_count(
+            c, F.lit("(?d)" + RE_PUNCT_LINE)
+        ),
+        "_n_long_lines": F.regexp_count(c, F.lit("(?d)" + RE_LONG_LINE)),
+    }
+    staged = df.withColumns(counters)
+    lines_d = F.col("_n_lines").cast("double")
+    fracs = {
+        "punct_line_frac": F.col("_n_punct_lines") / lines_d,
+        "short_line_frac": (F.col("_n_lines") - F.col("_n_long_lines"))
+        / lines_d,
+    }
+    staged = staged.withColumns(fracs)
+
+    # char-weighted duplicate-line fraction: per-(id, line) aggregate →
+    # per-id rollup, raw-line identity (no trim), empty lines excluded
+    lines = staged.select(
+        F.col(id_col).alias("_fw_id"), F.explode(F.split(c, "\n")).alias("_ln")
+    ).where(F.length("_ln") > 0)
+    per_line = lines.groupBy("_fw_id", "_ln").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    ln_len = F.length("_ln")
+    per_doc = per_line.groupBy("_fw_id").agg(
+        (
+            F.sum(
+                F.when(F.col("_cnt") > 1, (F.col("_cnt") - 1) * ln_len)
+                .otherwise(0)
+            )
+            / F.greatest(F.sum(F.col("_cnt") * ln_len), F.lit(1)).cast(
+                "double"
+            )
+        ).alias("dup_line_char_frac")
+    )
+    out = staged.join(
+        per_doc, staged[id_col] == per_doc["_fw_id"], "left"
+    ).drop("_fw_id")
+    out = out.withColumn(
+        "dup_line_char_frac", F.coalesce("dup_line_char_frac", F.lit(0.0))
+    )
+    cols = {k: F.col(k) for k in FINEWEB_BOUNDS}
+    return out.withColumn("fineweb_quality_pass", _pass_expr(cols)).drop(
+        "_n_lines", "_n_punct_lines", "_n_long_lines"
+    )
+
+
+def duckdb_fineweb_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin producing (id_col, the three metrics, pass flag)."""
+    t = text_col
+    nl = "chr(10)"
+    lines_d = f"CAST(len(string_split({t}, {nl})) AS DOUBLE)"
+    punct = (
+        f"len(regexp_extract_all({t}, '{RE_PUNCT_LINE}')) / {lines_d}"
+    )
+    short = (
+        f"len(list_filter(string_split({t}, {nl}), "
+        f"x -> length(x) < {SHORT_LINE_CHARS})) / {lines_d}"
+    )
+    bounds = FINEWEB_BOUNDS
+    return f"""
+WITH per_line AS (
+  SELECT {id_col} AS id, ln, COUNT(*) AS cnt, length(ln) AS len
+  FROM (SELECT {id_col}, unnest(string_split({t}, {nl})) AS ln FROM {table})
+  WHERE length(ln) > 0
+  GROUP BY {id_col}, ln
+), per_doc AS (
+  SELECT id,
+         SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * len ELSE 0 END)
+           / CAST(greatest(SUM(cnt * len), 1) AS DOUBLE) AS dup_line_char_frac
+  FROM per_line GROUP BY id
+), metrics AS (
+  SELECT d.{id_col} AS {id_col},
+         {punct} AS punct_line_frac,
+         {short} AS short_line_frac,
+         COALESCE(p.dup_line_char_frac, 0.0) AS dup_line_char_frac
+  FROM {table} d LEFT JOIN per_doc p ON p.id = d.{id_col}
+)
+SELECT *,
+       (punct_line_frac >= {bounds['punct_line_frac'][0]!r}
+        AND short_line_frac <= {bounds['short_line_frac'][1]!r}
+        AND dup_line_char_frac <= {bounds['dup_line_char_frac'][1]!r})
+         AS fineweb_quality_pass
+FROM metrics
+"""
+
+
+def golden_fineweb_signals(text: str) -> dict[str, float | bool]:
+    """Scalar golden (independent code path)."""
+    lines = text.split("\n")
+    n = len(lines)
+    punct = len(re.findall(RE_PUNCT_LINE, text)) / n
+    short = sum(1 for l in lines if len(l) < SHORT_LINE_CHARS) / n
+    nonempty = [l for l in lines if l]
+    from collections import Counter
+
+    counts = Counter(nonempty)
+    tot = sum(len(l) for l in nonempty)
+    dup = (
+        sum((c - 1) * len(l) for l, c in counts.items() if c > 1) / max(tot, 1)
+    )
+    b = FINEWEB_BOUNDS
+    return {
+        "punct_line_frac": punct,
+        "short_line_frac": short,
+        "dup_line_char_frac": dup,
+        "fineweb_quality_pass": (
+            punct >= b["punct_line_frac"][0]
+            and short <= b["short_line_frac"][1]
+            and dup <= b["dup_line_char_frac"][1]
+        ),
+    }

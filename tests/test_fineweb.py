@@ -1,0 +1,106 @@
+"""FineWeb custom filters: Spark ≡ DuckDB twin ≡ Python golden, hand
+fixtures for each bound, line-terminator edges, and fuzz."""
+
+import random
+
+import duckdb
+import pandas as pd
+
+from fast_langdetect_spark.operators.fineweb import (
+    FINEWEB_BOUNDS,
+    duckdb_fineweb_sql,
+    golden_fineweb_signals,
+    with_fineweb_signals,
+)
+
+CASES = [
+    "",
+    "one good line that is long enough and ends with punctuation today.",
+    "short.\nalso short.\nok.",                  # punct-rich but short lines
+    "x\ny\nz",                                   # all short, no punct
+    "a longer line without terminal punctuation that keeps going on fine\n"
+    "another long line that also has no punctuation ending here either",
+    "repeat this exact line of text here\nrepeat this exact line of text here\n"
+    "and one unique line that differs.",         # duplicated-line chars
+    "trailing newline line ends with period and is long enough to count.\n",
+    "elle está bien.\n文章の終わり。\nlast line ends with a proper period.",
+    "tab\tline ends ok.\r\nwindows line ending here too.",
+]
+
+
+def _spark_rows(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: r.asDict() for r in with_fineweb_signals(df).collect()
+    }
+
+
+def _duck_rows(texts):
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    rows = con.sql(duckdb_fineweb_sql()).fetchdf().to_dict("records")
+    return {r["doc_id"]: r for r in rows}
+
+
+def _assert_all(spark, texts):
+    got = _spark_rows(spark, texts)
+    duck = _duck_rows(texts)
+    for i, t in enumerate(texts):
+        gold = golden_fineweb_signals(t)
+        for k, gv in gold.items():
+            sv, dv = got[i][k], duck[i][k]
+            if isinstance(gv, bool):
+                assert bool(sv) == gv == bool(dv), (i, k, sv, gv, dv, repr(t))
+            else:
+                assert abs(float(sv) - float(gv)) < 1e-12, (i, k, sv, gv, t)
+                assert abs(float(dv) - float(gv)) < 1e-12, (i, k, dv, gv, t)
+
+
+def test_hand_cases_all_engines_agree(spark):
+    _assert_all(spark, CASES)
+
+
+def test_known_values(spark):
+    rows = _spark_rows(spark, CASES)
+    assert rows[1]["fineweb_quality_pass"]
+    assert rows[2]["punct_line_frac"] == 1.0
+    assert not rows[2]["fineweb_quality_pass"]   # all 3 lines short
+    assert rows[3]["punct_line_frac"] == 0.0
+    assert rows[4]["punct_line_frac"] == 0.0 and rows[4]["short_line_frac"] == 0.0
+    # doc 5: two identical 35-char lines + one unique → (2-1)*35 / total
+    dup = rows[5]["dup_line_char_frac"]
+    gold = golden_fineweb_signals(CASES[5])["dup_line_char_frac"]
+    assert abs(dup - gold) < 1e-12 and dup > 0.1
+    assert not rows[5]["fineweb_quality_pass"]
+    # trailing \n: the empty final line counts as a (short) line
+    assert rows[6]["short_line_frac"] == 0.5
+    assert rows[0]["dup_line_char_frac"] == 0.0
+
+
+def test_fuzz_engines_agree(spark):
+    rng = random.Random(20260821)
+    frags = [
+        "a long enough sentence that ends with proper punctuation mark.",
+        "short.", "tiny", "", "no punct but quite long line keeps going on",
+        "repeat me exactly once more", "文章の終わり。", 'quote end”',
+        "x" * 29, "y" * 30, "ends with tab\t.", "trailing blank. ",
+    ]
+    seps = ["\n", "\n\n", "\r\n"]
+    texts = []
+    for _ in range(50):
+        k = rng.randrange(0, 9)
+        parts = [rng.choice(frags) for _ in range(k)]
+        if k and rng.random() < 0.5:
+            parts.append(parts[0])  # force duplicate lines sometimes
+        texts.append(rng.choice(seps).join(parts))
+    _assert_all(spark, texts)
+
+
+def test_bounds_cover_all_metric_columns():
+    sig = set(golden_fineweb_signals("a.\nb"))
+    assert set(FINEWEB_BOUNDS) == sig - {"fineweb_quality_pass"}
