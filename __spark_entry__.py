@@ -195,6 +195,28 @@ def _q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing per language
+    (operators/perplexity.py ccnet_buckets — Wenzek et al. 1911.00359 §4).
+    Exact percent_rank window with (ppl, doc_id) tie-break; the oracle
+    recomputes perplexity locally (exact doubles, same as `perplexity`)
+    and re-derives the identical window in DuckDB."""
+    from fast_langdetect_spark.operators.perplexity import (
+        ccnet_buckets,
+        perplexity_udf,
+    )
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "lang", perplexity_udf()(F.col("text")).alias("perplexity")
+    )
+    out = ccnet_buckets(scored)
+    return out.select(
+        "doc_id", "lang", "perplexity",
+        F.round("ppl_rank", 6).alias("ppl_rank_r"),
+        "ppl_bucket",
+    )
+
+
 def _q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via sha256 hash-groupBy (oracle-checked)."""
     from fast_langdetect_spark.operators.dedup import exact_duplicates
@@ -1112,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_decisions": _q_pipeline_decisions,
         "pipeline_full": _q_pipeline_full,
         "perplexity": _q_perplexity,
+        "ppl_buckets": _q_ppl_buckets,
         "exact_dups": _q_exact_dups,
         "token_jaccard": _q_token_jaccard,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -1694,6 +1717,25 @@ def _perplexity_oracle_sql() -> str:
         "SELECT doc_id, perplexity FROM (VALUES\n"
         + ",\n".join(rows)
         + "\n) t(doc_id, perplexity)"
+    )
+
+
+def _ppl_buckets_oracle_sql() -> str:
+    """Exact-double local ppl recompute (as `perplexity`) + the identical
+    percent_rank window in DuckDB, lang joined from the parquet."""
+    from fast_langdetect_spark.operators.perplexity import (
+        duckdb_ccnet_buckets_sql,
+    )
+
+    ppl_values = _perplexity_oracle_sql()
+    inner = duckdb_ccnet_buckets_sql(
+        "(SELECT p.doc_id, d.lang, p.perplexity "
+        f"FROM ({ppl_values}) p JOIN documents d USING (doc_id)) rel"
+    )
+    return (
+        "SELECT doc_id, lang, perplexity, "
+        "round(ppl_rank, 6) AS ppl_rank_r, ppl_bucket "
+        f"FROM ({inner})"
     )
 
 
@@ -2332,6 +2374,7 @@ def _signature_cte_oracles() -> dict[str, str]:
         ("multimodal_features", _multimodal_oracle_sql),
         ("split_by_language", _split_lang_oracle_sql),
         ("perplexity", _perplexity_oracle_sql),
+        ("ppl_buckets", _ppl_buckets_oracle_sql),
         ("pipeline_full", _pipeline_full_oracle_sql),
     ):
         try:

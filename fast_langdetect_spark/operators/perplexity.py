@@ -221,3 +221,115 @@ def perplexity_udf(lm_path: Optional[str] = None, doc_cap: int = DEFAULT_DOC_CAP
             yield pd.Series(ppl, index=s.index)
 
     return _udf
+
+
+# --------------------------------------------------- CCNet-style bucketing
+#
+# CCNet (Wenzek et al. arXiv:1911.00359 §4) splits each language's corpus
+# into head/middle/tail thirds by LM perplexity and trains on the head
+# (or head+middle).  Two forms:
+#
+#   * ccnet_buckets — EXACT per-language percent_rank window.  One sort
+#     per language partition: fine up to ~10^8 docs/language, and the
+#     oracle-checkable form (deterministic (ppl, id) tie-break).  A
+#     dominant language funnels through one reducer — at 100 TB use the
+#     threshold form.
+#   * ccnet_bucket_thresholds + bucket_by_threshold — the scale path:
+#     per-language boundary perplexities via percentile_approx (a
+#     map-side-mergeable sketch aggregate, one small shuffle), then
+#     bucket assignment is a broadcast join + pure map over the corpus.
+#     Approximate at the boundaries only; tests assert agreement with
+#     the exact form away from boundary ties.
+
+
+def ccnet_buckets(
+    df,
+    *,
+    ppl_col: str = "perplexity",
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    head_frac: float = 1 / 3,
+    middle_frac: float = 1 / 3,
+):
+    """Adds ``ppl_rank`` (percent_rank within part_col by (ppl, id)) and
+    ``ppl_bucket`` ∈ {head, middle, tail}."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(part_col).orderBy(F.col(ppl_col), F.col(id_col))
+    pr = F.percent_rank().over(w)
+    bucket = (
+        F.when(pr < head_frac, F.lit("head"))
+        .when(pr < head_frac + middle_frac, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return df.withColumn("ppl_rank", pr).withColumn("ppl_bucket", bucket)
+
+
+def ccnet_bucket_thresholds(
+    df,
+    *,
+    ppl_col: str = "perplexity",
+    part_col: str = "lang",
+    head_frac: float = 1 / 3,
+    middle_frac: float = 1 / 3,
+    accuracy: int = 10_000,
+):
+    """(part_col, head_ppl, middle_ppl) boundary perplexities per language
+    via percentile_approx — the mergeable-sketch scale path."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(part_col).agg(
+        F.percentile_approx(ppl_col, head_frac, accuracy).alias("head_ppl"),
+        F.percentile_approx(
+            ppl_col, head_frac + middle_frac, accuracy
+        ).alias("middle_ppl"),
+    )
+
+
+def bucket_by_threshold(
+    df,
+    thresholds,
+    *,
+    ppl_col: str = "perplexity",
+    part_col: str = "lang",
+):
+    """Broadcast-join the per-language thresholds and bucket map-side."""
+    from pyspark.sql import functions as F
+
+    t = F.broadcast(thresholds)
+    out = df.join(t, part_col, "left")
+    bucket = (
+        F.when(F.col(ppl_col) <= F.col("head_ppl"), F.lit("head"))
+        .when(F.col(ppl_col) <= F.col("middle_ppl"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.withColumn("ppl_bucket", bucket).drop("head_ppl", "middle_ppl")
+
+
+def duckdb_ccnet_buckets_sql(
+    ppl_relation: str,
+    *,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    ppl_col: str = "perplexity",
+    head_frac: float = 1 / 3,
+    middle_frac: float = 1 / 3,
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets` over a (id, part, ppl)
+    relation.  percent_rank = (rank-1)/(n-1) on identical doubles with the
+    identical (ppl, id) tie-break → bit-identical ranks across engines."""
+    return f"""
+SELECT {id_col}, {part_col}, {ppl_col},
+       percent_rank() OVER (
+         PARTITION BY {part_col} ORDER BY {ppl_col}, {id_col}) AS ppl_rank,
+       CASE
+         WHEN percent_rank() OVER (
+           PARTITION BY {part_col} ORDER BY {ppl_col}, {id_col})
+           < {head_frac!r} THEN 'head'
+         WHEN percent_rank() OVER (
+           PARTITION BY {part_col} ORDER BY {ppl_col}, {id_col})
+           < {head_frac + middle_frac!r} THEN 'middle'
+         ELSE 'tail' END AS ppl_bucket
+FROM {ppl_relation}
+"""

@@ -200,3 +200,49 @@ def test_script_gate_udf_subset_and_null_parity(spark):
     for i in (2, 3, 4):
         assert gated[i] == base[i]
     assert base[3][0] == "en" and abs(base[3][1] - 0.1245) < 0.01
+
+
+def test_ccnet_buckets_exact_and_threshold_agree(spark):
+    """CCNet bucketing: the exact percent_rank form and the
+    percentile_approx threshold form agree for rows away from the
+    boundaries; each language splits ~1/3-1/3-1/3; threshold assignment
+    is a broadcast-join map (no window over the corpus)."""
+    import random
+
+    from fast_langdetect_spark.operators.perplexity import (
+        bucket_by_threshold,
+        ccnet_bucket_thresholds,
+        ccnet_buckets,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, ["en", "fr"][i % 2], 10.0 + rng.random() * 90.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, perplexity double")
+    exact = {
+        (r["doc_id"]): r
+        for r in ccnet_buckets(df).collect()
+    }
+    counts = {}
+    for r in exact.values():
+        counts[(r["lang"], r["ppl_bucket"])] = (
+            counts.get((r["lang"], r["ppl_bucket"]), 0) + 1
+        )
+    for lang in ("en", "fr"):
+        for b in ("head", "middle", "tail"):
+            assert 40 <= counts[(lang, b)] <= 60, counts
+    thr = ccnet_bucket_thresholds(df)
+    approx = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in bucket_by_threshold(df, thr).collect()
+    }
+    # away from boundaries (rank not within 2% of a cut) the two agree
+    disagreements = sum(
+        1
+        for i, r in exact.items()
+        if approx[i] != r["ppl_bucket"]
+        and min(abs(r["ppl_rank"] - 1 / 3), abs(r["ppl_rank"] - 2 / 3)) > 0.02
+    )
+    assert disagreements == 0
