@@ -90,23 +90,28 @@ def with_fineweb_signals(
     staged = staged.withColumns(fracs)
 
     # char-weighted duplicate-line fraction: per-(id, line) aggregate →
-    # per-id rollup, raw-line identity (no trim), empty lines excluded
+    # per-id rollup, raw-line identity (no trim), empty lines excluded.
+    # Grouping key is xxhash64(line), NOT the line string — only compact
+    # (id, hash, len) rows shuffle (the repetition.py gram-hash lesson;
+    # measured 30.3 s → 6.7 s at 500k).  The DuckDB twin groups the raw
+    # line — the collision-free twin, same equivalence as the gram oracles.
     lines = staged.select(
         F.col(id_col).alias("_fw_id"), F.explode(F.split(c, "\n")).alias("_ln")
     ).where(F.length("_ln") > 0)
-    per_line = lines.groupBy("_fw_id", "_ln").agg(
-        F.count(F.lit(1)).alias("_cnt")
+    per_line = lines.select(
+        "_fw_id", F.xxhash64("_ln").alias("_lh"), F.length("_ln").alias("_len")
+    ).groupBy("_fw_id", "_lh").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.first("_len").alias("_len")
     )
-    ln_len = F.length("_ln")
     per_doc = per_line.groupBy("_fw_id").agg(
         (
             F.sum(
-                F.when(F.col("_cnt") > 1, (F.col("_cnt") - 1) * ln_len)
+                F.when(F.col("_cnt") > 1, (F.col("_cnt") - 1) * F.col("_len"))
                 .otherwise(0)
             )
-            / F.greatest(F.sum(F.col("_cnt") * ln_len), F.lit(1)).cast(
-                "double"
-            )
+            / F.greatest(
+                F.sum(F.col("_cnt") * F.col("_len")), F.lit(1)
+            ).cast("double")
         ).alias("dup_line_char_frac")
     )
     out = staged.join(
