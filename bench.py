@@ -148,12 +148,15 @@ def q_curation_extras(spark, corpus_path: str):
 
 
 def q_quality_extras(spark, corpus_path: str):
-    """The round-4 zero-shuffle rule families at 500k scale: unicode
-    normalization, Gopher table-A1 quality signals, and C4 line-level
-    cleaning, composed on ONE corpus scan (all pure WholeStageCodegen
-    maps — no exchange anywhere; the heavy gram-level repetition/span
-    operators are profiled separately in BENCH.md, not here)."""
+    """The round-4 rule families at 500k scale: unicode normalization,
+    Gopher table-A1 signals and C4 line-level cleaning composed on ONE
+    corpus scan (pure WholeStageCodegen maps, no exchange), plus the
+    FineWeb filters (whose duplicate-line metric is the one aggregate in
+    the basket — compact (id, line-hash, len) rows only).  The heavy
+    gram-level repetition/span operators are profiled separately in
+    BENCH.md, not here."""
     from fast_langdetect_spark.operators.c4 import with_c4_signals
+    from fast_langdetect_spark.operators.fineweb import with_fineweb_signals
     from fast_langdetect_spark.operators.gopher import with_gopher_signals
     from fast_langdetect_spark.operators.normalize import with_normalized_text
 
@@ -173,8 +176,14 @@ def q_quality_extras(spark, corpus_path: str):
         F.sum(F.length("c4_text")).alias("c4_chars"),
         F.sum("n_words").alias("words"),
     ).collect()[0]
+    fw = with_fineweb_signals(docs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("fineweb_quality_pass").cast("long")).alias("fw_ok"),
+        F.sum("dup_line_char_frac").alias("dup_frac_sum"),
+    ).collect()[0]
     return {"n": row["n"], "normed": row["normed"],
-            "gopher_ok": row["gopher_ok"], "c4_ok": row["c4_ok"]}
+            "gopher_ok": row["gopher_ok"], "c4_ok": row["c4_ok"],
+            "fineweb_ok": fw["fw_ok"]}
 
 
 def _total_busy_jiffies() -> int:
