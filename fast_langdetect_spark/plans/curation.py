@@ -42,6 +42,13 @@ class CurationConfig:
     # columns are dropped after the gate so the dedup/packing shuffles move
     # only the original payload
     extended_rules: bool = False
+    # which duplicate wins the sha cluster: the min of a struct over these
+    # columns.  Default = stable provenance order; a quality-aware pipeline
+    # can pass e.g. ("perplexity", "repo", "path") to keep the
+    # lowest-perplexity copy (the struct-min is still exactly one shuffle —
+    # any column of the scored frame is legal; trailing unique columns keep
+    # the pick deterministic under ties)
+    dedup_order_cols: Sequence[str] = ("repo", "path")
     shard_budget: int = 100_000  # scrubbed chars per shard
     shard_part_cols: Sequence[str] = ("split", "part_bucket")
     shard_order_cols: Sequence[str] = ("repo", "path")  # unique per bucket
@@ -93,8 +100,10 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         scored = run_pipeline(df, cfg.pipeline)
         kept = _apply_keep(scored, F.col("keep"), cfg)
 
-    # exact dedup over the text that would ship (scrubbed), min-(repo,path)
-    # representative — single-pass min_by aggregation: one shuffle keyed on
+    # exact dedup over the text that would ship (scrubbed); representative =
+    # min over cfg.dedup_order_cols (default (repo, path), provenance order;
+    # quality-aware configs order by a score column first) — single-pass
+    # min_by aggregation: one shuffle keyed on
     # the sha, map-side partial aggregation collapses boilerplate mega-shas
     # (no sha-partitioned window sort on one reducer), and — unlike a
     # groupBy-reps + join-back shape — the upstream pipeline (including the
@@ -110,7 +119,7 @@ def curate(df: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         .agg(
             F.min_by(
                 F.struct(*[c for c in out_cols if c != "dedup_sha"]),
-                F.struct("repo", "path"),
+                F.struct(*cfg.dedup_order_cols),
             ).alias("__row")
         )
         .select("dedup_sha", "__row.*")

@@ -371,3 +371,38 @@ def test_pack_sequences_partition_property(spark, rows):
     # seq indices dense from 0 per bucket
     for b, smax in last_seq.items():
         assert {s for (bb, s) in by_seq if bb == b} == set(range(smax + 1))
+
+
+def test_curation_dedup_order_cols_pick_best_copy(spark):
+    """dedup_order_cols lets the sha-cluster representative be chosen by a
+    score column instead of provenance order: here the duplicate with the
+    smaller n_chars-derived marker wins under a custom order while the
+    default keeps the (repo, path) minimum."""
+    from fast_langdetect_spark.plans.curation import CurationConfig, curate
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig
+
+    text = "perfectly ordinary content line that passes every rule fine"
+    rows = [
+        ("zrepo", "a.txt", text),   # same content, later repo
+        ("arepo", "b.txt", text),   # same content, earlier repo
+        ("mrepo", "c.txt", text + " unique"),
+    ]
+    corpus = spark.createDataFrame(rows, "repo string, path string, content string")
+    base = dict(
+        pipeline=PipelineConfig(n_buckets=2),
+        rules_only=True,
+        shard_part_cols=("split", "repo"),
+        shard_order_cols=("repo", "path"),
+    )
+    default = curate(corpus, CurationConfig(**base))
+    d = {r["dedup_sha"]: r["repo"] for r in default.collect()}
+    # provenance order: arepo < zrepo
+    assert "arepo" in d.values() and "zrepo" not in d.values()
+
+    custom = curate(
+        corpus, CurationConfig(**base, dedup_order_cols=("path", "repo"))
+    )
+    c = {r["dedup_sha"]: (r["repo"], r["path"]) for r in custom.collect()}
+    # path order: a.txt (zrepo) beats b.txt (arepo)
+    assert ("zrepo", "a.txt") in c.values()
+    assert ("arepo", "b.txt") not in c.values()
