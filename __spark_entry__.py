@@ -183,6 +183,27 @@ def _q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 vs top-2 language-confidence margin — the standard langid
+    filter signal (a low margin marks mixed/ambiguous docs).  Uses the
+    reference-parity detect_langs_udf(k=2) array; the oracle recomputes
+    through the SAME predict_batch path driver-side, so tie ordering and
+    float32 arithmetic match by construction."""
+    from fast_langdetect_spark.operators.langid import detect_langs_udf
+    from fast_langdetect_spark.resources import resolve_lite_model_path
+
+    arr = detect_langs_udf(resolve_lite_model_path(), k=2)(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        arr[0]["lang"].alias("lang1"),
+        F.round(arr[0]["score"].cast("double"), 6).alias("s1_r"),
+        F.round(arr[1]["score"].cast("double"), 6).alias("s2_r"),
+        F.round(
+            (arr[0]["score"] - arr[1]["score"]).cast("double"), 6
+        ).alias("margin_r"),
+    )
+
+
 def _q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram perplexity LM (Q1) standalone.  The chunked scorer is
     batch-shape invariant (per-doc segments never span chunks — asserted by
@@ -1135,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_full": _q_pipeline_full,
         "perplexity": _q_perplexity,
         "ppl_buckets": _q_ppl_buckets,
+        "langid_margin": _q_langid_margin,
         "exact_dups": _q_exact_dups,
         "token_jaccard": _q_token_jaccard,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -1642,6 +1664,59 @@ def _langid_oracle_sql() -> str:
         "SELECT doc_id, lang_top, lang_score FROM (VALUES\n"
         + vals
         + "\n) t(doc_id, lang_top, lang_score)"
+    )
+
+
+def _langid_margin_oracle_sql() -> str:
+    """Local recompute through the SAME predict_batch(k=2) call the UDF
+    makes — identical preprocessing, tie ordering and float32 math; the
+    margin is float32 subtraction before the double cast, as in Spark."""
+    import numpy as np
+
+    import pandas as pd
+
+    from fast_langdetect_spark.core.api import load_model_cached
+    from fast_langdetect_spark.core.preprocess import (
+        DEFAULT_MAX_INPUT_LENGTH,
+        normalize_series,
+        preprocess_series,
+    )
+    from fast_langdetect_spark.resources import resolve_lite_model_path
+
+    docs = _oracle_docs(10**9)
+    model = load_model_cached(resolve_lite_model_path())
+    s = pd.Series([t for _, t in docs])
+    prepared = normalize_series(
+        preprocess_series(s, DEFAULT_MAX_INPUT_LENGTH), True
+    )
+    results = model.predict_batch(prepared.tolist(), k=2, threshold=0.0)
+    strip = len("__label__")
+    rows = []
+    for (doc_id, _), (labels, scores) in zip(docs, results):
+        if len(labels) >= 2:
+            s1 = np.float32(min(float(scores[0]), 1.0))
+            s2 = np.float32(min(float(scores[1]), 1.0))
+            m = np.float32(s1 - s2)
+            cells = (
+                f"'{labels[0][strip:]}'",
+                f"round(CAST({float(s1):.17e} AS DOUBLE), 6)",
+                f"round(CAST({float(s2):.17e} AS DOUBLE), 6)",
+                f"round(CAST({float(m):.17e} AS DOUBLE), 6)",
+            )
+        else:
+            cells = ("NULL", "NULL", "NULL", "NULL")
+        if not rows:
+            rows.append(
+                f"(CAST({doc_id} AS BIGINT), CAST({cells[0]} AS VARCHAR), "
+                f"CAST({cells[1]} AS DOUBLE), CAST({cells[2]} AS DOUBLE), "
+                f"CAST({cells[3]} AS DOUBLE))"
+            )
+        else:
+            rows.append(f"({doc_id}, {cells[0]}, {cells[1]}, {cells[2]}, {cells[3]})")
+    return (
+        "SELECT doc_id, lang1, s1_r, s2_r, margin_r FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) t(doc_id, lang1, s1_r, s2_r, margin_r)"
     )
 
 
@@ -2371,6 +2446,7 @@ def _signature_cte_oracles() -> dict[str, str]:
         ("ivf_ann", _ivf_oracle_sql),
         ("semantic_dedup", _semantic_dedup_oracle_sql),
         ("langid_top1", _langid_oracle_sql),
+        ("langid_margin", _langid_margin_oracle_sql),
         ("multimodal_features", _multimodal_oracle_sql),
         ("split_by_language", _split_lang_oracle_sql),
         ("perplexity", _perplexity_oracle_sql),
