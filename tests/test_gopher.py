@@ -122,3 +122,25 @@ def test_plan_is_pure_map(spark):
 def test_bounds_cover_all_signal_columns():
     sig = set(golden_gopher_signals("the be to of and"))
     assert set(GOPHER_BOUNDS) == sig - {"gopher_quality_pass"}
+
+
+def test_null_text_propagates_not_crashes(spark):
+    """NULL text → NULL signals and a NULL (falsy-in-filter) pass flag, in
+    gopher, c4 and fineweb alike — null docs fall out of keep-gates
+    instead of crashing the stage."""
+    from fast_langdetect_spark.operators.c4 import with_c4_signals
+    from fast_langdetect_spark.operators.fineweb import with_fineweb_signals
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c.")], "doc_id long, text string"
+    )
+    g = {r["doc_id"]: r.asDict() for r in with_gopher_signals(df).collect()}
+    assert g[1]["gopher_quality_pass"] is None and g[1]["n_words"] is None
+    assert g[2]["n_words"] == 3
+    c = {r["doc_id"]: r.asDict() for r in with_c4_signals(df).collect()}
+    assert c[1]["c4_doc_pass"] is None and c[1]["c4_text"] is None
+    f = {r["doc_id"]: r.asDict() for r in with_fineweb_signals(df).collect()}
+    assert f[1]["fineweb_quality_pass"] is None
+    # NULL pass flags are falsy: a keep-gate drops the null doc
+    kept = with_gopher_signals(df).where("gopher_quality_pass").count()
+    assert kept == 0  # doc 2 fails bounds; doc 1 is NULL — neither kept
