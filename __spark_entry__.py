@@ -716,7 +716,7 @@ def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_paras", "n_dup_paras",
         F.round("dup_frac", 6).alias("dup_frac_r"), "is_boilerplate",
-    )
+    ).orderBy("doc_id")
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,7 +753,7 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", "seq_id", "seq_idx", "doc_offset", "seq_offset", "n_slice"
-    )
+    ).orderBy("doc_id", "seq_idx")
 
 
 def _q_incr_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,7 +957,7 @@ def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "n_grams", "n_shared_grams", "covered_tokens",
         F.round("shared_token_frac", 6).alias("shared_frac_r"),
         "has_shared_span",
-    )
+    ).orderBy("doc_id")
 
 
 def _q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2292,7 +2292,7 @@ def _repeated_spans_sql() -> str:
     return (
         "SELECT doc_id, n_tokens, n_grams, n_shared_grams, covered_tokens, "
         "round(shared_token_frac, 6) AS shared_frac_r, has_shared_span "
-        f"FROM ({inner})"
+        f"FROM ({inner}) ORDER BY doc_id"
     )
 
 
@@ -2374,17 +2374,18 @@ def _paragraph_dedup_sql() -> str:
     return (
         "SELECT doc_id, n_paras, n_dup_paras, "
         "round(dup_frac, 6) AS dup_frac_r, is_boilerplate "
-        f"FROM ({inner}) q"
+        f"FROM ({inner}) q ORDER BY doc_id"
     )
 
 
 def _pack_sequences_sql() -> str:
     from fast_langdetect_spark.operators.sampling import duckdb_pack_sequences_sql
 
-    return duckdb_pack_sequences_sql(
+    inner = duckdb_pack_sequences_sql(
         "documents", tokens_col="n_chars", part_col="source",
         order_col="doc_id", context_len=500,
     )
+    return f"SELECT * FROM ({inner}) ORDER BY doc_id, seq_idx"
 
 
 def _decontam_spans_sql() -> str:

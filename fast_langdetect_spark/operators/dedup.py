@@ -783,7 +783,7 @@ WITH paras AS (
 )
 SELECT d.{id_col} AS {id_col},
        COALESCE(p.n_paras, 0) AS n_paras,
-       COALESCE(p.n_dup_paras, 0) AS n_dup_paras,
+       CAST(COALESCE(p.n_dup_paras, 0) AS BIGINT) AS n_dup_paras,
        COALESCE(p.n_dup_paras / CAST(GREATEST(p.n_paras, 1) AS DOUBLE), 0.0)
          AS dup_frac,
        COALESCE(p.n_dup_paras / CAST(GREATEST(p.n_paras, 1) AS DOUBLE), 0.0)

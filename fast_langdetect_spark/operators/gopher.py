@@ -105,7 +105,10 @@ RE_STOPWORD_SPLIT = "[^a-z0-9_]+"
 # replace; [^a-z0-9] is fine, adding the _ is not).  Spark-side we spell
 # the SAME character set as explicit positive ranges; RE2/Python twins
 # keep the readable negated form (identical semantics, fuzz-pinned).
-RE_STOPWORD_SPLIT_JAVA = "[\\x00-\\x2f\\x3a-\\x5e\\x60\\x7b-\\uffff]+"
+# Upper bound is \x{10FFFF}, not U+FFFF: Python/RE2 [^a-z0-9_] folds
+# supplementary-plane chars (emoji) to separators too, and a BMP-only
+# cap silently undercounted stopword_hits on such text (round-4 advice).
+RE_STOPWORD_SPLIT_JAVA = "[\\x00-\\x2f\\x3a-\\x5e\\x60\\x7b-\\x{10FFFF}]+"
 
 
 def _pass_expr(cols: Mapping[str, Column]) -> Column:

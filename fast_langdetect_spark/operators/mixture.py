@@ -102,10 +102,16 @@ def mixture_resample(
     rates = F.broadcast(weights.select("domain", "rate"))
     joined = df.join(rates, df[domain_col] == rates["domain"], "left")
     u = _u_col(F.col(id_col), seed)
+    # keep compares u against the 9dp-ROUNDED rate: the pow()-derived rate
+    # can differ in the last ulp across engines, and a u within that ulp of
+    # the boundary would flip keep between Spark and the DuckDB twin
+    # (round-4 advice).  9dp ≫ the 32-bit u granularity (2.3e-10) relative
+    # to any real thinning decision; the twin rounds identically.
+    rate_r = F.round(F.coalesce(F.col("rate"), F.lit(0.0)), 9)
     return joined.select(
         *[df[c] for c in df.columns],
         u.alias("u"),
-        (u < F.coalesce(F.col("rate"), F.lit(0.0))).alias("keep"),
+        (u < rate_r).alias("keep"),
     )
 
 
@@ -168,6 +174,6 @@ WITH per AS (
 )
 SELECT d.{id_col} AS {id_col},
        round({u}, 9) AS u_r,
-       {u} < COALESCE(r.rate, 0.0) AS keep
+       {u} < round(COALESCE(r.rate, 0.0), 9) AS keep
 FROM {table} d LEFT JOIN rates r ON r.domain = d.{domain_col}
 """

@@ -222,8 +222,9 @@ WITH staged AS (
 SELECT {id_cols},
        part || '/' || CAST(seq AS VARCHAR) AS seq_id,
        seq AS seq_idx,
-       GREATEST(prec, seq * {L}) - prec AS doc_offset,
-       GREATEST(prec, seq * {L}) - seq * {L} AS seq_offset,
-       LEAST(prec + n, (seq + 1) * {L}) - GREATEST(prec, seq * {L}) AS n_slice
+       CAST(GREATEST(prec, seq * {L}) - prec AS BIGINT) AS doc_offset,
+       CAST(GREATEST(prec, seq * {L}) - seq * {L} AS BIGINT) AS seq_offset,
+       CAST(LEAST(prec + n, (seq + 1) * {L})
+            - GREATEST(prec, seq * {L}) AS BIGINT) AS n_slice
 FROM exploded
 """

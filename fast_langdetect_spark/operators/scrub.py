@@ -57,7 +57,9 @@ SCRUB_RULES: List[Tuple[str, str, str, str]] = [
     ),
     (
         "slack_token",
-        r"\bxox[baprs]-[A-Za-z0-9-]{10,250}\b",
+        # b bot, a legacy, e rotating/refresh, o legacy-workspace, p user,
+        # r refresh (legacy), s session (round-4 advice: xoxe/xoxo passed)
+        r"\bxox[abeoprs]-[A-Za-z0-9-]{10,250}\b",
         "<SECRET>",
         "<SECRET>",
     ),

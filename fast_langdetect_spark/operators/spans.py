@@ -388,7 +388,7 @@ SELECT t.id AS {id_col},
        COALESCE(len(t.toks), 0) AS n_tokens,
        greatest(COALESCE(len(t.toks), 0) - {n - 1}, 0) AS n_grams,
        COALESCE(c.n_shared, 0) AS n_shared_grams,
-       COALESCE(c.covered, 0) AS covered_tokens,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
        COALESCE(c.covered, 0) / CAST(greatest(COALESCE(len(t.toks), 0), 1) AS DOUBLE)
          AS shared_token_frac,
        COALESCE(c.covered, 0) / CAST(greatest(COALESCE(len(t.toks), 0), 1) AS DOUBLE)

@@ -35,6 +35,10 @@ CASES = [
     "athe theb nothe",                   # embedded: must NOT count
     "ends with ellipsis...",             # no trailing newline, $ at EOS
     "...starts\nmid...dots\nok... ",     # ellipsis not at line end (trailing sp)
+    # supplementary-plane separators: emoji must fold to spaces Spark-side
+    # too (round-4 advice: a BMP-capped class undercounted these)
+    "the\U0001F600be\U0001F600to\U0001F600of and with that have",
+    "\U0001F680\U0001F984 the \U0001F30D of\U0001F600",
 ]
 
 
@@ -98,7 +102,7 @@ def test_fuzz_engines_agree(spark):
     vocab = (
         list(golden_gopher_signals.__globals__["REQUIRED_STOPWORDS"])
         + ["lorem", "ipsum", "#", "...", "…", "-", "*", "•",
-           "文言", "x", "supercalifragilistic"]
+           "文言", "x", "supercalifragilistic", "\U0001F600", "\U0001F680the"]
     )
     seps = [" ", "  ", "\n", "\n\n", "\t", "\r\n", "\f"]
     texts = []

@@ -193,3 +193,64 @@ def test_paragraph_dedup_duckdb_twin(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+def test_paragraph_dedup_fuzz_mixed_script(spark, tmp_path):
+    """Seeded mixed-script fuzz of the DuckDB twin (round-4 ask): blank-line
+    separator variants (Java split vs RE2 regexp_split_to_array), trim
+    semantics, the min_para_chars threshold straddled by exactly-29/30/31
+    char paragraphs, CJK / emoji / combining-mark paragraphs, and docs with
+    no qualifying paragraph.  0-divergence bar."""
+    import random
+
+    import duckdb
+
+    from fast_langdetect_spark.operators.dedup import (
+        duckdb_paragraph_dedup_sql,
+        paragraph_dedup_flags,
+    )
+
+    rng = random.Random(20260818)
+    pad = "pad body text to reach length "
+    shared_pool = [
+        pad + "shared alpha",                       # ASCII, > 30 chars
+        "许可证头段落在多个文档之间重复出现以供测试使用很长",  # CJK, 25 cp < 30
+        "许可证头段落在多个文档之间重复出现以供测试使用很长很长很长",  # 31 cp
+        "\U0001F600 emoji paragraph shared across docs \U0001F680 ok",
+        "é" * 16,                             # combining marks, 32 cp
+        "x" * 29,                                   # just under threshold
+        "y" * 30,                                   # exactly at threshold
+        " " + "z" * 30 + " ",                       # trims to exactly 30
+    ]
+    seps = ["\n\n", "\n \n", "\n\t\n", "\n\r\n", "\n\f\n", "\n\n\n",
+            "\n \t\r\f\n\n"]
+    rows = []
+    for i in range(40):
+        k = rng.randrange(0, 5)
+        paras = [rng.choice(shared_pool) for _ in range(k)]
+        if rng.random() < 0.5:
+            paras.append(pad + f"unique trailer {i} with filler")
+        if rng.random() < 0.3:
+            paras.append("single\nnewline is not a separator " + str(i % 3))
+        text = ""
+        for p in paras:
+            text += p + rng.choice(seps)
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    pq = str(tmp_path / "pf.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+    got = sorted(
+        (r["doc_id"], r["n_paras"], r["n_dup_paras"], round(r["dup_frac"], 9),
+         r["is_boilerplate"])
+        for r in paragraph_dedup_flags(docs, max_dup_frac=0.4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW d AS SELECT * FROM '{pq}/*.parquet'")
+    want = sorted(
+        (r[0], r[1], r[2], round(r[3], 9), r[4])
+        for r in con.execute(
+            duckdb_paragraph_dedup_sql("d", max_dup_frac=0.4)
+        ).fetchall()
+    )
+    assert got == want
+    # both dup and non-dup paths actually exercised
+    assert any(r[2] > 0 for r in got) and any(r[2] == 0 for r in got)

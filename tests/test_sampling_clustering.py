@@ -406,3 +406,55 @@ def test_curation_dedup_order_cols_pick_best_copy(spark):
     # path order: a.txt (zrepo) beats b.txt (arepo)
     assert ("zrepo", "a.txt") in c.values()
     assert ("arepo", "b.txt") not in c.values()
+
+def test_pack_sequences_duckdb_twin_fuzz(spark, tmp_path):
+    """Seeded fuzz of duckdb_pack_sequences_sql vs the Spark operator
+    (round-4 ask): zero and NULL token counts (excluded from packing but
+    not from the other engine's cumsum), counts straddling the context
+    boundary (L-1, L, L+1, 3L), multi-bucket packing, and a bucket whose
+    docs are all zero.  0-divergence bar on the full manifest."""
+    import random
+
+    import duckdb
+
+    from fast_langdetect_spark.operators.sampling import (
+        duckdb_pack_sequences_sql,
+        pack_sequences,
+    )
+
+    rng = random.Random(20260818)
+    L = 100
+    sizes = [0, None, 1, 2, L - 1, L, L + 1, 3 * L, 7, 250]
+    rows = []
+    i = 0
+    for part in ("a", "b", "c", "zeros"):
+        for _ in range(rng.randrange(3, 12)):
+            n = 0 if part == "zeros" else rng.choice(sizes)
+            rows.append((i, part, n))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    pq = str(tmp_path / "ps.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+    out = pack_sequences(
+        docs, tokens_col="n", part_col="source", order_col="doc_id",
+        context_len=L,
+    )
+    got = sorted(
+        (r["doc_id"], r["seq_id"], r["seq_idx"], r["doc_offset"],
+         r["seq_offset"], r["n_slice"])
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW d AS SELECT * FROM '{pq}/*.parquet'")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            duckdb_pack_sequences_sql(
+                "d", tokens_col="n", part_col="source", order_col="doc_id",
+                context_len=L,
+            )
+        ).fetchall()
+    )
+    assert got == want
+    assert any(r[1].startswith("a/") for r in got)
+    assert not any(r[1].startswith("zeros/") for r in got)  # all-zero bucket

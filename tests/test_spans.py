@@ -234,3 +234,35 @@ def test_remove_fuzz_engines_agree(spark):
         docs[i] = " ".join(words)
     _rm_assert(spark, docs, n_tokens=5)
     _rm_assert(spark, docs, n_tokens=3)
+
+
+def test_fuzz_mixed_script_engines_agree(spark):
+    """Mixed-script fuzz (round-4 ask): CJK / emoji / combining-mark
+    tokens, the full explicit separator class ([ \\t\\r\\n\\f]+), and
+    NBSP / ideographic-space characters that must NOT split tokens —
+    Spark ≡ DuckDB twin ≡ scalar golden with a 0-divergence bar."""
+    rng = random.Random(20260819)
+    vocab = [f"w{i}" for i in range(8)] + [
+        "文言文", "\U0001F600", "café", "éclair",
+        "a b",        # NBSP inside a token: one token, never split
+        "x　y",        # ideographic space inside a token: same
+        "\U0001F680rocket",
+    ]
+    seps = [" ", "\t", "\r\n", "\f", " \t ", "\n", "  "]
+    shared_phrases = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 8)))
+        for _ in range(3)
+    ]
+    docs = {}
+    for i in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 20))]
+        text = ""
+        for t in toks:
+            text += t + rng.choice(seps)
+        if rng.random() < 0.6:
+            ph = rng.choice(shared_phrases)
+            cut = rng.randrange(0, len(text) + 1)
+            text = (text[:cut] + " " + ph + " " + text[cut:]).strip()
+        docs[i] = text.strip()
+    for n in (3, 5):
+        _assert_engines(spark, docs, n_tokens=n, max_shared_frac=0.25)

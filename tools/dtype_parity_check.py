@@ -1,0 +1,94 @@
+"""One-off driver-hash-sensitivity audit: compare pandas dtypes AND a
+row-sorted value hash between every queries() entry (Spark -> toPandas)
+and its oracle_sql() twin (DuckDB -> .df()).
+
+The round-4 driver flagged hash_match=false on three queries whose
+values were oracle-exact; the degree of freedom left is the pandas
+representation the driver hashes.  DuckDB SUM(BIGINT) returns HUGEINT,
+which pandas renders as float64 while Spark emits int64 -- numerically
+equal, hash-different.  This script catches any such divergence for all
+queries so green ones cannot flake later.
+
+Usage: python tools/dtype_parity_check.py [sf_dir]  (default sf0.01)
+"""
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+import __spark_entry__ as E  # noqa: E402
+from fast_langdetect_spark.session import build_session  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _canon_hash(df: pd.DataFrame) -> str:
+    """Hash after sorting columns by name and rows by all values, using
+    repr of each cell -- intentionally dtype-SENSITIVE (500 vs 500.0
+    differ), like a driver hashing the raw pandas frame."""
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        tuple(repr(v) for v in row) for row in df.itertuples(index=False)
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session("dtype-parity")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    bad = 0
+    for name, fn in queries.items():
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"{name}: SKIP (no oracle)")
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            ddf = con.execute(sql).df()
+        except Exception as exc:  # pragma: no cover - audit tool
+            print(f"{name}: ERROR {exc}")
+            bad += 1
+            continue
+        sd = {c: str(sdf[c].dtype) for c in sorted(sdf.columns)}
+        dd = {c: str(ddf[c].dtype) for c in sorted(ddf.columns)}
+        dtype_diff = {
+            c: (sd.get(c), dd.get(c))
+            for c in set(sd) | set(dd)
+            if sd.get(c) != dd.get(c)
+        }
+        hs, hd = _canon_hash(sdf), _canon_hash(ddf)
+        status = "OK" if (not dtype_diff and hs == hd) else "MISMATCH"
+        if status != "OK":
+            bad += 1
+        print(
+            f"{name}: {status}"
+            + (f" dtypes={dtype_diff}" if dtype_diff else "")
+            + ("" if hs == hd else f" hash {hs[:12]} != {hd[:12]}")
+        )
+    spark.stop()
+    print(f"done: {bad} mismatching queries")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
