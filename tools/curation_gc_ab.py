@@ -1,0 +1,93 @@
+"""Round-5 A/B: root-cause the curation_extras 2x clean-canary swing
+(VERDICT r04 #3: 5.54 s / 87.5 cpu-s at 14:05 vs judge-measured
+10.85 s / 199.5 cpu-s post-round, both canary ~ floor, identical code).
+
+Hypothesis under test: JVM heap/GC state. curation_extras runs FIFTH in
+bench.py, after the warmup + up to 3 pipeline_corpus attempts; a polluted
+window triggers pipeline retries, each churning ~500k-row Arrow batches
+through the JVM heap. Full GCs during the later curation_extras inflate
+its cpu AND wall, while the spin canary (measured in the PYTHON driver
+process) stays at the floor - exactly the observed signature.
+
+Modes, run as separate processes and interleaved by the caller:
+  cold  - fresh session, minimal warmup, 3x curation_extras
+  hot   - fresh session, warmup + 3x pipeline_corpus first, then
+          3x curation_extras
+Each timed rep records wall, tree-cpu, canary, and JVM GC time/count
+delta (GarbageCollectorMXBeans), printed as one JSON line per rep.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402  (reuses query defs + canary/cpu plumbing)
+from fast_langdetect_spark.session import build_session  # noqa: E402
+
+
+def _gc_stats(spark):
+    beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    t = c = 0
+    for i in range(beans.size()):
+        b = beans.get(i)
+        t += b.getCollectionTime()
+        c += b.getCollectionCount()
+    return t / 1000.0, c
+
+
+def _heap_used(spark):
+    mem = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getMemoryMXBean()
+    return mem.getHeapMemoryUsage().getUsed() / 1e9
+
+
+def main() -> None:
+    mode = sys.argv[1]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    hz = os.sysconf("SC_CLK_TCK")
+    spark = build_session(
+        app_name=f"curation-ab-{mode}", cpus=32, shuffle_partitions=256
+    )
+    corpus = bench._materialize_corpus(spark, bench.BENCH_CORPUS_ROWS)
+    bench.q_langid_docs(spark, "/root/testdata/sf0.001")  # worker warmup
+    if mode == "hot":
+        bench.q_pipeline(spark, corpus)
+        for _ in range(3):
+            bench.q_pipeline(spark, corpus)
+    for rep in range(reps):
+        load = bench._wait_quiet()
+        canary = bench._canary_sec()
+        gc0, gcc0 = _gc_stats(spark)
+        heap0 = _heap_used(spark)
+        c0 = bench._tree_cpu_jiffies()
+        t0 = time.time()
+        bench.q_curation_extras(spark, corpus)
+        dt = time.time() - t0
+        cpu = (bench._tree_cpu_jiffies() - c0) / hz
+        gc1, gcc1 = _gc_stats(spark)
+        print(
+            json.dumps(
+                {
+                    "mode": mode,
+                    "rep": rep,
+                    "wall": round(dt, 3),
+                    "cpu": round(cpu, 1),
+                    "canary": canary,
+                    "gate_load": load,
+                    "gc_sec": round(gc1 - gc0, 2),
+                    "gc_count": gcc1 - gcc0,
+                    "heap_gb_before": round(heap0, 2),
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
