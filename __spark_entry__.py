@@ -417,10 +417,20 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected features locally (same synth/decode/feature code, no Spark)
     and inlines them — verifying the distributed mapInPandas path end to
     end.  Entropy compared as an exact double (identical computation both
-    sides; no rounding)."""
-    from fast_langdetect_spark.operators.multimodal import assets_df, extract_features
+    sides; no rounding).  Besides the 200 synthetic-format assets, 100
+    REAL-container assets (P6 PPM / 24-bit BMP / PCM WAV, ids 1000+) run
+    the pure-NumPy decoders on actual encoded bytes (round-4 ask #7)."""
+    from fast_langdetect_spark.operators.multimodal import (
+        assets_df,
+        extract_features,
+        real_assets_df,
+    )
 
-    return extract_features(assets_df(spark, 200, partitions=8)).select(
+    real = real_assets_df(spark, 100, partitions=4).withColumn(
+        "asset_id", F.col("asset_id") + F.lit(1000)
+    )
+    allassets = assets_df(spark, 200, partitions=8).unionByName(real)
+    return extract_features(allassets).select(
         "asset_id", "kind", "width", "height", "n_frames", "byte_entropy",
     )
 
@@ -1868,26 +1878,34 @@ def _multimodal_oracle_sql() -> str:
     Spark).  Verifies the mapInPandas plumbing end to end."""
     import numpy as np
 
-    from fast_langdetect_spark.operators.multimodal import fake_decode, synth_asset
+    from fast_langdetect_spark.operators.multimodal import (
+        decode_any,
+        synth_asset,
+        synth_real_asset,
+    )
 
-    rows = []
-    for aid in range(200):
-        _, kind, data, _ = synth_asset(aid)
-        dec = fake_decode(bytes(data))
-        payload = dec["payload"]
+    def _entropy(payload) -> float:
         counts = np.bincount(payload, minlength=256).astype(np.float64)
         probs = counts / max(payload.size, 1)
         nz = probs[probs > 0]
-        entropy = float(-(nz * np.log2(nz)).sum())
-        if aid == 0:  # pin VALUES column types on the first row
+        return float(-(nz * np.log2(nz)).sum())
+
+    assets = [(aid, synth_asset(aid)) for aid in range(200)] + [
+        (1000 + aid, synth_real_asset(aid)) for aid in range(100)
+    ]
+    rows = []
+    for out_id, (_, kind, data, _) in assets:
+        dec = decode_any(bytes(data))
+        entropy = _entropy(dec["payload"])
+        if out_id == 0:  # pin VALUES column types on the first row
             rows.append(
-                f"(CAST({aid} AS BIGINT), CAST('{kind}' AS VARCHAR), "
+                f"(CAST({out_id} AS BIGINT), CAST('{kind}' AS VARCHAR), "
                 f"CAST({dec['width']} AS INT), CAST({dec['height']} AS INT), "
                 f"CAST({dec['n_frames']} AS INT), CAST({entropy:.17e} AS DOUBLE))"
             )
         else:
             rows.append(
-                f"({aid}, '{kind}', {dec['width']}, {dec['height']}, "
+                f"({out_id}, '{kind}', {dec['width']}, {dec['height']}, "
                 f"{dec['n_frames']}, {entropy:.17e})"
             )
     vals = ",\n".join(rows)

@@ -1,12 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no image/audio codecs (no PIL/ffmpeg), so the DECODE step
-is stubbed exactly as the task prescribes: ``decode_image``/``decode_audio``
-raise ``NotImplementedError`` unless the optional library import succeeds,
-and the pipeline uses a clearly-marked DETERMINISTIC FAKE decoder for the
-synthetic assets.  Everything Spark-side is real and tested: the asset
-schema, mapInPandas batch shape, partition-friendly feature extraction, and
-frame sampling over a length-prefixed binary layout.
+Decode support is tiered (round-4 verdict ask #7):
+
+  * REAL pure-NumPy decoders for the uncompressed container formats that
+    need no codec library: binary PPM/PGM (netpbm P6/P5), uncompressed
+    24-bit BI_RGB BMP, and PCM WAV (8/16-bit, any channel count).  These
+    parse actual bytes — header fields, row padding, bottom-up row order,
+    RIFF chunk walking — and feed real pixel/sample data to the feature
+    extractor.  Matching encoders exist so tests and synthetic corpora
+    round-trip bit-exactly.
+  * COMPRESSED formats (PNG/JPEG/...) stay stubbed behind
+    ``NotImplementedError`` unless an optional codec import succeeds —
+    the container ships no PIL/ffmpeg.
+  * The self-describing synthetic format ("FIMG"/"FAUD"/"FVID") remains
+    for plumbing-scale tests.
+
+Everything Spark-side is real and tested: the asset schema, mapInPandas
+batch shape, partition-friendly feature extraction, and frame sampling
+over a length-prefixed binary layout.
 
 Synthetic asset layout (deterministic, self-describing):
     magic 4B ("FIMG"/"FAUD"/"FVID") | uint16 width | uint16 height |
@@ -51,6 +62,201 @@ def decode_image(data: bytes):
         ) from e
 
 
+# ------------------------------------------------ real uncompressed decoders
+#
+# All three return the same dict shape as fake_decode: kind, width, height,
+# n_frames, payload (np.uint8 of the DECODED content: RGB/gray pixel bytes
+# row-major top-down for images; raw PCM data bytes for audio) — so the
+# feature extractor is decoder-agnostic.
+
+
+def decode_ppm(data: bytes) -> dict:
+    """Binary netpbm decode (P6 RGB / P5 gray), pure NumPy.
+
+    Handles the full header grammar: arbitrary whitespace runs and
+    '#'-comments between tokens, any maxval < 256 (wider maxvals are
+    2-byte-per-sample netpbm — rejected, not silently misread)."""
+    if data[:2] not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm file (magic={data[:2]!r})")
+    tokens: List[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(data[i:j])
+        i = j
+    i += 1  # exactly one whitespace byte after maxval, per spec
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval >= 256:
+        raise NotImplementedError("16-bit netpbm samples not supported")
+    channels = 3 if data[:2] == b"P6" else 1
+    need = width * height * channels
+    payload = np.frombuffer(data, dtype=np.uint8, offset=i, count=need)
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "payload": payload.copy(),
+    }
+
+
+def decode_bmp(data: bytes) -> dict:
+    """Uncompressed 24-bit BI_RGB BMP decode, pure NumPy: BITMAPINFOHEADER
+    parse, 4-byte row padding strip, bottom-up (or top-down when height is
+    negative) row order, BGR→RGB channel swap."""
+    if data[:2] != b"BM":
+        raise ValueError(f"not a BMP file (magic={data[:2]!r})")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    width, height = struct.unpack_from("<2i", data, 18)
+    planes, bpp = struct.unpack_from("<2H", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # each row padded to 4 bytes
+    raw = np.frombuffer(
+        data, dtype=np.uint8, offset=pix_off, count=row_bytes * height
+    ).reshape(height, row_bytes)[:, : width * 3]
+    rows = raw if top_down else raw[::-1]
+    rgb = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR → RGB
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "payload": np.ascontiguousarray(rgb).reshape(-1),
+    }
+
+
+def decode_wav(data: bytes) -> dict:
+    """PCM WAV decode, pure NumPy: RIFF chunk walk (fmt may be followed by
+    LIST/fact/etc. before data; odd-size chunks are word-padded), 8-bit
+    unsigned / 16-bit signed PCM, any channel count.
+
+    Returns samples in ``payload`` as the raw little-endian data-chunk
+    bytes (uint8 view) plus ``samples`` (n_frames × channels int arrays);
+    width = frames per channel, height = channels, n_frames = 1."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file (magic={data[:4]!r})")
+    off = 12
+    fmt = None
+    pcm = None
+    while off + 8 <= len(data):
+        cid = data[off : off + 4]
+        size = struct.unpack_from("<I", data, off + 4)[0]
+        body = data[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, _rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PCM supported (format={audio_format}, bits={bits})"
+        )
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = np.frombuffer(pcm, dtype=dtype)
+    n_frames_audio = samples.size // channels
+    samples = samples[: n_frames_audio * channels].reshape(
+        n_frames_audio, channels
+    )
+    return {
+        "kind": "audio",
+        "width": n_frames_audio,
+        "height": channels,
+        "n_frames": 1,
+        "payload": np.frombuffer(pcm, dtype=np.uint8).copy(),
+        "samples": samples,
+    }
+
+
+def decode_any(data: bytes) -> dict:
+    """Magic-dispatching decode: real parser when the format is one of the
+    supported uncompressed containers, the synthetic fake for the FIMG /
+    FAUD / FVID plumbing format, NotImplementedError (stub, by design —
+    no codec libs in this container) for recognized compressed formats."""
+    head = bytes(data[:4])
+    if head[:2] in (b"P6", b"P5"):
+        return decode_ppm(data)
+    if head[:2] == b"BM":
+        return decode_bmp(data)
+    if head == b"RIFF":
+        return decode_wav(data)
+    if head in _MAGIC.values():
+        return fake_decode(data)
+    if head == b"\x89PNG" or head[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "compressed image codecs not installed in this environment"
+        )
+    raise ValueError(f"unrecognized asset format (magic={head!r})")
+
+
+# ----------------------------------------------------------------- encoders
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """P6 encode of an (h, w, 3) uint8 array."""
+    h, w, c = rgb.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        rgb, dtype=np.uint8
+    ).tobytes()
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP encode (bottom-up, padded rows)."""
+    h, w, c = rgb.shape
+    assert c == 3
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    pix = body.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """16-bit PCM WAV encode of an (n_frames, channels) int16 array."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    block = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
 def fake_decode(data: bytes) -> dict:
     """DETERMINISTIC FAKE decoder for the synthetic asset format."""
     magic = bytes(data[:4])
@@ -87,12 +293,59 @@ def synth_asset(asset_id: int) -> tuple:
     )
 
 
+def synth_real_asset(asset_id: int) -> tuple:
+    """Deterministic asset in a REAL container format (id % 3: P6 PPM /
+    24-bit BMP / 16-bit PCM WAV), content derived from sha256(id) — so the
+    real decoders run on actual encoded bytes, parallel-safe like
+    synth_asset.  Width is varied across the 4-byte BMP row-padding
+    residues so the padding path is always exercised."""
+    kind = ["image", "image", "audio"][asset_id % 3]
+    seed = hashlib.sha256(f"real{asset_id}".encode()).digest()
+    width = 5 + (asset_id * 7) % 23  # hits all width % 4 residues
+    height = 4 + (asset_id * 13) % 17
+    need = width * height * 3
+    reps = need // len(seed) + 1
+    pix = np.frombuffer((seed * reps)[:need], dtype=np.uint8).reshape(
+        height, width, 3
+    )
+    if asset_id % 3 == 0:
+        data, fmt = encode_ppm(pix), "ppm"
+    elif asset_id % 3 == 1:
+        data, fmt = encode_bmp(pix), "bmp"
+    else:
+        n = 64 + (asset_id * 11) % 200
+        raw = (seed * (n * 4 // len(seed) + 1))[: n * 4]
+        samples = np.frombuffer(raw, dtype="<i2").reshape(n, 2)
+        data, fmt = encode_wav(samples), "wav"
+        width, height = n, 2
+    return (
+        asset_id,
+        kind,
+        bytearray(data),
+        {"format": fmt, "width": width, "height": height, "n_frames": 1},
+    )
+
+
 def assets_df(spark, n_assets: int, partitions: int | None = None) -> DataFrame:
     """Distributed deterministic asset table (spark.range → mapInPandas)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [synth_asset(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "data", "meta"])
+
+    rng = spark.range(
+        0, n_assets, numPartitions=partitions or spark.sparkContext.defaultParallelism
+    )
+    return rng.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def real_assets_df(spark, n_assets: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic REAL-format asset table (PPM/BMP/WAV)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [synth_real_asset(int(i)) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["asset_id", "kind", "data", "meta"])
 
     rng = spark.range(
@@ -113,7 +366,7 @@ def extract_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out: List[dict] = []
             for aid, kind, data in zip(pdf["asset_id"], pdf["kind"], pdf["data"]):
-                dec = fake_decode(bytes(data))
+                dec = decode_any(bytes(data))
                 payload = dec["payload"]
                 counts = np.bincount(payload, minlength=256).astype(np.float64)
                 probs = counts / max(payload.size, 1)
@@ -147,7 +400,7 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, data in zip(pdf["asset_id"], pdf["data"]):
-                dec = fake_decode(bytes(data))
+                dec = decode_any(bytes(data))
                 fsize = dec["width"] * dec["height"]
                 for fi in range(0, dec["n_frames"], every_k):
                     frame = dec["payload"][fi * fsize : (fi + 1) * fsize]

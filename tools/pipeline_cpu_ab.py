@@ -1,0 +1,83 @@
+"""Round-5 A/B (VERDICT r04 #2): attribute the pipeline_corpus CPU growth
+(r03 316 cpu-s -> r04 434-683 cpu-s for identical 500k rows).
+
+Pipeline-path code delta across round 4 is exactly the scrub extension
+(4 new code-secret rules; guarded tree 16 -> 256 leaf copies) plus a
+trivial conf accessor -- nothing else in the scoring chain changed.  So:
+interleave FULL (8-rule) and R03 (first-4-rule) scrub variants in ONE
+session, one untimed warm rep per variant first (first-execution
+JIT/codegen warm-in measured at ~2x on curation_extras -- see
+curation_gc_ab.py), then alternating timed reps with wall / tree-cpu /
+canary per rep.  Interleaving makes the pair differential robust to slow
+canary-invisible drift; per-rep canaries flag polluted reps.
+
+Usage: python tools/pipeline_cpu_ab.py [reps_per_variant=3]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+from fast_langdetect_spark.operators import scrub  # noqa: E402
+from fast_langdetect_spark.session import build_session  # noqa: E402
+
+FULL_RULES = list(scrub.SCRUB_RULES)
+R03_RULES = FULL_RULES[:4]  # email, ipv4, aws_key, secret_assign
+assert [r[0] for r in R03_RULES] == [
+    "email", "ipv4", "aws_key", "secret_assign"
+], [r[0] for r in R03_RULES]
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    hz = os.sysconf("SC_CLK_TCK")
+    spark = build_session(
+        app_name="pipeline-cpu-ab", cpus=32, shuffle_partitions=256
+    )
+    corpus = bench._materialize_corpus(spark, bench.BENCH_CORPUS_ROWS)
+    bench.q_langid_docs(spark, "/root/testdata/sf0.001")
+
+    def run(tag: str, rules, timed: bool, rep: int) -> None:
+        scrub.SCRUB_RULES = rules
+        try:
+            load = bench._wait_quiet()
+            canary = bench._canary_sec()
+            c0 = bench._tree_cpu_jiffies()
+            t0 = time.time()
+            bench.q_pipeline(spark, corpus)
+            dt = time.time() - t0
+            cpu = (bench._tree_cpu_jiffies() - c0) / hz
+        finally:
+            scrub.SCRUB_RULES = FULL_RULES
+        print(
+            json.dumps(
+                {
+                    "variant": tag,
+                    "rep": rep,
+                    "timed": timed,
+                    "wall": round(dt, 3),
+                    "cpu": round(cpu, 1),
+                    "canary": canary,
+                    "gate_load": load,
+                }
+            ),
+            flush=True,
+        )
+
+    run("full8", FULL_RULES, False, -1)  # warm-in, reported but untimed
+    run("r03x4", R03_RULES, False, -1)
+    for rep in range(reps):
+        run("full8", FULL_RULES, True, rep)
+        run("r03x4", R03_RULES, True, rep)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
