@@ -1,0 +1,208 @@
+"""Round-5 clean-window A/B for the heavy gram operators (VERDICT r04 #4).
+
+gopher_repetition was committed on plan structure (map-side F.get gram
+build, compact doc-row shuffle only) while the rejected lead()-window
+variant measured FASTER under like pollution (238 vs 321 s, both 10-16x
+canary-polluted) -- neither shape has ever run on a quiet host.  This
+tool reconstructs the window variant (token rows shuffled + sorted once,
+leads built from the sorted stream) and interleaves it with the
+committed shape on the 500k bench corpus, plus repeated_span_flags reps,
+recording wall / tree-cpu / canary per rep.
+
+Run only when /proc/loadavg is quiet; abort any conclusions for reps
+with canary > 1.25x the session floor.
+
+Usage: python tools/gram_bench_ab.py [reps=2]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+from pyspark.sql import Column, DataFrame, Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from fast_langdetect_spark.operators.repetition import (  # noqa: E402
+    DUP_NGRAM_THRESHOLDS,
+    TOP_NGRAM_THRESHOLDS,
+    _TOKEN_SPLIT,
+    gopher_repetition,
+)
+from fast_langdetect_spark.session import build_session  # noqa: E402
+
+
+def gopher_repetition_window(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The REJECTED round-4 shape, reconstructed for the A/B: one token-row
+    window (shuffle + sort all token rows by (_id, _pos)), grams from
+    lead() columns, identical aggregation downstream."""
+    top_ns = sorted(TOP_NGRAM_THRESHOLDS)
+    dup_ns = sorted(DUP_NGRAM_THRESHOLDS)
+    all_ns = sorted({*top_ns, *dup_ns})
+    max_n = max(all_ns)
+    did = F.col(id_col)
+    clean = F.regexp_replace(
+        F.col(text_col), f"^{_TOKEN_SPLIT[:-1]}+|{_TOKEN_SPLIT[:-1]}+$", ""
+    )
+    base = df.select(
+        did.alias("_id"),
+        F.split(clean, _TOKEN_SPLIT).alias("_toks"),
+        F.length(
+            F.regexp_replace(F.col(text_col), _TOKEN_SPLIT[:-1], "")
+        ).alias("_total"),
+    )
+    toks = base.select(
+        "_id", "_total", F.posexplode("_toks").alias("_pos", "_tok")
+    ).where(F.col("_tok") != "")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    lead_cols = [F.col("_tok")] + [
+        F.lead("_tok", i).over(w).alias(f"_l{i}") for i in range(1, max_n)
+    ]
+    led = toks.select("_id", "_total", *lead_cols)
+    parts_all = [F.col("_tok")] + [F.col(f"_l{i}") for i in range(1, max_n)]
+
+    def gram_struct(n: int) -> Column:
+        parts = parts_all[:n]
+        gchars = sum((F.length(p) for p in parts[1:]), F.length(parts[0]))
+        return F.struct(
+            F.lit(n).alias("_n"),
+            F.when(
+                parts[-1].isNotNull(), F.xxhash64(F.lit(n), *parts)
+            ).alias("_ghash"),
+            gchars.alias("_gchars"),
+        )
+
+    grams = (
+        led.select(
+            "_id",
+            "_total",
+            F.explode(F.array(*[gram_struct(n) for n in all_ns])).alias("_g"),
+        )
+        .select("_id", "_total", "_g._n", "_g._ghash", "_g._gchars")
+        .where(F.col("_ghash").isNotNull())
+    )
+    counts = grams.groupBy("_id", "_n", "_ghash").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.max("_gchars").alias("_gchars"),
+        F.max("_total").alias("_total"),
+    )
+    cov = F.col("_cnt") * F.col("_gchars").cast("long")
+    per_n = counts.groupBy("_id", "_n").agg(
+        F.max(cov).alias("_top_cov"),
+        F.sum(F.when(F.col("_cnt") > 1, cov)).alias("_dup_cov"),
+        F.max("_total").alias("_total"),
+    )
+    total = F.greatest(F.col("_total"), F.lit(1)).cast("double")
+    frac = lambda c: F.least(  # noqa: E731
+        F.coalesce(c, F.lit(0)).cast("double") / total, F.lit(1.0)
+    )
+    per_doc = per_n.groupBy("_id").agg(
+        *[
+            F.max(F.when(F.col("_n") == n, frac(F.col("_top_cov")))).alias(
+                f"_top{n}"
+            )
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("_n") == n, frac(F.col("_dup_cov")))).alias(
+                f"_dup{n}"
+            )
+            for n in dup_ns
+        ],
+    )
+    out_cols = {
+        **{
+            f"top_{n}gram_char_frac": F.coalesce(F.col(f"_top{n}"), F.lit(0.0))
+            for n in top_ns
+        },
+        **{
+            f"dup_{n}gram_char_frac": F.coalesce(F.col(f"_dup{n}"), F.lit(0.0))
+            for n in dup_ns
+        },
+    }
+    joined = df.select(did).join(per_doc, did == F.col("_id"), "left")
+    return joined.select(did, *[c.alias(a) for a, c in out_cols.items()])
+
+
+def _force(out: DataFrame) -> None:
+    frac_cols = [c for c in out.columns if c.endswith("_frac")]
+    out.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).alias(c) for c in frac_cols],
+    ).collect()
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    hz = os.sysconf("SC_CLK_TCK")
+    spark = build_session(
+        app_name="gram-ab", cpus=32, shuffle_partitions=256
+    )
+    corpus = bench._materialize_corpus(spark, bench.BENCH_CORPUS_ROWS)
+    docs = (
+        spark.read.parquet(corpus)
+        .select(
+            F.xxhash64("repo", "path").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+    )
+
+    from fast_langdetect_spark.operators.spans import repeated_span_flags
+
+    def run_spans() -> None:
+        out = repeated_span_flags(docs, n_tokens=50, max_shared_frac=0.2)
+        out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("covered_tokens").alias("cov"),
+            F.sum(F.col("has_shared_span").cast("long")).alias("hits"),
+        ).collect()
+
+    variants = [
+        ("gopher_committed", lambda: _force(gopher_repetition(docs))),
+        ("gopher_window", lambda: _force(gopher_repetition_window(docs))),
+        ("repeated_spans", run_spans),
+    ]
+    # small warm-in per variant (JIT/codegen) on a 20k slice
+    small = docs.limit(20000).cache()
+    small.count()
+    _force(gopher_repetition(small))
+    _force(gopher_repetition_window(small))
+    small.unpersist()
+
+    for rep in range(reps):
+        for tag, fn in variants:
+            load = bench._wait_quiet()
+            canary = bench._canary_sec()
+            c0 = bench._tree_cpu_jiffies()
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            cpu = (bench._tree_cpu_jiffies() - c0) / hz
+            canary_after = bench._canary_sec()
+            print(
+                json.dumps(
+                    {
+                        "variant": tag,
+                        "rep": rep,
+                        "wall": round(dt, 3),
+                        "cpu": round(cpu, 1),
+                        "canary": canary,
+                        "canary_after": canary_after,
+                        "gate_load": load,
+                    }
+                ),
+                flush=True,
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
