@@ -6,6 +6,8 @@ against this package's from-scratch implementation.  model='full' resolves to
 the lite artifact offline (conftest sets FLD_SPARK_FULL_MODEL_PATH; SURVEY §7.1).
 """
 
+import os
+
 import pytest
 
 from fast_langdetect_spark import (
@@ -247,3 +249,29 @@ def test_auto_prefers_full_model():
         resolve_full_model_path()
     )
     assert "low_memory" not in detector._models  # no silent fallback
+
+
+def test_auto_falls_back_to_lite_on_memory_error(monkeypatch):
+    """Reference semantics (infer.py:299-304): 'auto' (low_memory=False with
+    fallback) degrades to the lite model when loading the FULL model raises
+    MemoryError; explicit model='full' must re-raise instead."""
+    import fast_langdetect_spark.core.api as api
+
+    real_load = api.load_model_cached
+    full_path = os.environ["FLD_SPARK_FULL_MODEL_PATH"]
+
+    def flaky_load(path):
+        if str(path) == full_path:
+            raise MemoryError("simulated full-model OOM")
+        return real_load(path)
+
+    monkeypatch.setattr(api, "load_model_cached", flaky_load)
+
+    detector = LangDetector(LangDetectConfig())
+    out = detector.detect("Hello world", model="auto", k=1)
+    assert out[0]["lang"] == "en"
+    assert "low_memory" in detector._models  # fallback happened
+    assert "high_memory" not in detector._models
+
+    with pytest.raises(MemoryError):
+        LangDetector(LangDetectConfig()).detect("Hello world", model="full", k=1)

@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Measure memory behavior when loading fast-langdetect-spark models.
+
+Analogue of the reference's examples/memory_usage_check.py
+(/root/reference/examples/memory_usage_check.py): report peak-RSS deltas
+for loading each model variant and predicting, optionally under an
+RLIMIT_AS address-space cap, and exercise the reference's documented
+MemoryError->lite fallback for model='auto' (infer.py:299-304 semantics,
+rebuilt in core/api.py:_get_model).
+
+Each measurement runs in a FRESH subprocess so ru_maxrss (a high-water
+mark that never decreases) isolates one load, matching the reference
+script's "run from a clean terminal" caveat by construction.
+
+Examples
+  python tools/memory_usage_check.py                  # lite + full, no cap
+  python tools/memory_usage_check.py --limit-mb 300   # capped variants too
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_CHILD = r"""
+import json, os, resource, sys
+sys.path.insert(0, {repo!r})
+
+limit_mb = {limit_mb!r}
+if limit_mb is not None:
+    b = int(limit_mb) * 1024 * 1024
+    resource.setrlimit(resource.RLIMIT_AS, (b, b))
+
+def rss_mb():
+    # Linux: ru_maxrss is KiB
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+before = rss_mb()
+result = {{"model": {model!r}, "limit_mb": limit_mb, "rss_before_mb": round(before, 1)}}
+try:
+    from fast_langdetect_spark import detect
+    out = detect("hello world this is a memory check", model={model!r})
+    result["label"] = out[0]["lang"]
+    result["status"] = "ok"
+except MemoryError:
+    result["status"] = "memory_error"
+except Exception as e:
+    result["status"] = type(e).__name__
+    result["detail"] = str(e)[:200]
+result["rss_peak_mb"] = round(rss_mb(), 1)
+result["rss_delta_mb"] = round(result["rss_peak_mb"] - before, 1)
+print(json.dumps(result))
+"""
+
+
+def run_one(model: str, limit_mb: int | None, env: dict) -> dict:
+    code = _CHILD.format(repo=str(REPO), model=model, limit_mb=limit_mb)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        return {
+            "model": model,
+            "limit_mb": limit_mb,
+            "status": f"crash(rc={proc.returncode})",
+            "detail": (proc.stderr or proc.stdout)[-300:],
+        }
+
+
+def ensure_full_fixture(env: dict) -> None:
+    """Materialize the dense .bin stand-in for lid.176.bin (same serializer
+    tests/conftest.py uses) so the 'full' rows exercise the dense loader."""
+    if env.get("FLD_SPARK_FULL_MODEL_PATH"):
+        return
+    fixture = Path("/tmp/fld_memcheck_full_model.bin")
+    if not fixture.exists():
+        sys.path.insert(0, str(REPO))
+        from fast_langdetect_spark.fasttext_np.model import FastTextModel
+        from fast_langdetect_spark.fasttext_np.serialize import write_dense_bin
+        from fast_langdetect_spark.resources import resolve_lite_model_path
+
+        write_dense_bin(FastTextModel.load(resolve_lite_model_path()), fixture)
+    env["FLD_SPARK_FULL_MODEL_PATH"] = str(fixture)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--limit-mb", type=int, default=None)
+    args = ap.parse_args()
+
+    env = dict(os.environ)
+    ensure_full_fixture(env)
+
+    rows = []
+    for model in ("lite", "full", "auto"):
+        rows.append(run_one(model, None, env))
+    if args.limit_mb is not None:
+        for model in ("lite", "full", "auto"):
+            rows.append(run_one(model, args.limit_mb, env))
+
+    # auto-fallback check: make 'full' unresolvable and confirm auto -> lite
+    env_nofull = dict(env)
+    env_nofull["FLD_SPARK_FULL_MODEL_PATH"] = "/nonexistent/lid.176.bin"
+    env_nofull["FLD_SPARK_CACHE_DIR"] = "/tmp/fld_memcheck_empty_cache"
+    Path(env_nofull["FLD_SPARK_CACHE_DIR"]).mkdir(exist_ok=True)
+    fb = run_one("auto", None, env_nofull)
+    fb["scenario"] = "auto_fallback_full_unavailable"
+    rows.append(fb)
+
+    for r in rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
