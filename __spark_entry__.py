@@ -876,6 +876,54 @@ def _q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("u", 9).alias("u_r"), "keep")
 
 
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py, Xie et al.
+    2302.03169): hashed unigram+bigram bucket distributions, target =
+    English docs, BIGINT-scaled log-ratio weights, Gumbel top-100
+    selection.  All float math is fixed-order per doc (the per-doc sum is
+    an integer), so the DuckDB twin is bit-exact."""
+    from fast_langdetect_spark.operators.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "_is_target", F.col("lang") == F.lit("en")
+    )
+    return dsir_select(
+        docs, target_col="_is_target", k=100, n_buckets=1024, seed=7
+    ).orderBy("doc_id")
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3 appendix-A trained quality filter (operators/
+    quality_classifier.py): Tokenizer→HashingTF→LogisticRegression with
+    heuristic-rule pseudo-labels standing in for curated-vs-raw, scored
+    over the corpus, deterministic Pareto keep.  Iterative L-BFGS is not
+    SQL-expressible, so this query has NO DuckDB oracle (rows+schema
+    check only); value-level evidence lives in
+    tests/test_quality_classifier.py (separable-corpus accuracy)."""
+    from fast_langdetect_spark.operators.decision import with_rule_decision
+    from fast_langdetect_spark.operators.quality import with_quality_metrics
+    from fast_langdetect_spark.operators.quality_classifier import (
+        classifier_filter,
+    )
+
+    docs = _docs(spark, sf_dir)
+    labeled = (
+        with_rule_decision(with_quality_metrics(docs, "text"), text_col="text")
+        .withColumn("label", F.col("keep_rules").cast("double"))
+        .select("doc_id", "text", "label")
+    )
+    out = classifier_filter(
+        docs.select("doc_id", "text"),
+        labeled,
+        n_features=1 << 16,
+        max_iter=25,
+        seed=17,
+    )
+    return out.select(
+        "doc_id", F.round("quality_score", 4).alias("score_r"), "keep"
+    ).orderBy("doc_id")
+
+
 def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher n-gram repetition rules (operators/repetition.py, Rae et al.
     2112.11446 table A1).  The synthetic docs are mostly non-repetitive, so
@@ -1200,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": _q_domain_mixture,
         "mixture_resample": _q_mixture_resample,
         "gopher_repetition": _q_gopher_repetition,
+        "dsir_select": _q_dsir_select,
+        "quality_classifier": _q_quality_classifier,
         "normalize_text": _q_normalize_text,
         "repeated_spans": _q_repeated_spans,
         "span_removal": _q_span_removal,
@@ -2098,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mixture": _mixture_sql(),
         "mixture_resample": _resample_sql(),
         "gopher_repetition": _repetition_sql(),
+        "dsir_select": _dsir_sql(),
         "normalize_text": _normalize_sql(),
         "repeated_spans": _repeated_spans_sql(),
         "span_removal": _span_removal_sql(),
@@ -2439,6 +2490,14 @@ def _mixture_sql() -> str:
 
     return duckdb_mixture_sql(
         "documents", domain_col="lang", size_col="n_chars", alpha=0.3
+    )
+
+
+def _dsir_sql() -> str:
+    from fast_langdetect_spark.operators.dsir import duckdb_dsir_sql
+
+    return duckdb_dsir_sql(
+        "documents", target_pred="lang = 'en'", k=100, n_buckets=1024, seed=7
     )
 
 

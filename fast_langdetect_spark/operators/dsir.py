@@ -1,0 +1,318 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): select raw-corpus documents whose hashed-n-gram feature
+distribution resembles a target domain.
+
+Public recipe, rebuilt Spark-first:
+
+  1. Features: word unigrams + bigrams hashed into ``n_buckets`` buckets
+     (the paper's "hashed n-gram features", §3.2; 10k buckets there,
+     parameterized here).
+  2. Fit bag-of-buckets distributions p_target (docs matching the target
+     predicate) and p_raw (all docs), add-½ smoothed.
+  3. Per-doc importance weight  log w(x) = Σ_b cnt_b(x) · log(p_t[b]/p_r[b]).
+  4. Gumbel top-k resampling (paper §3.3): key = log w + Gumbel(u(doc)),
+     take the k largest keys — sampling without replacement proportional
+     to the importance weights.
+
+No counterpart in /root/reference (a langid library); LLM-pipeline
+extension surface (SURVEY §2 extras), same family as operators/mixture.py.
+
+Cross-engine determinism (the driver's DuckDB oracle re-runs all of this):
+
+  * bucket(gram) and u(doc) come from sha256 prefixes (exact in both
+    engines; same trick as mixture._u_col).
+  * per-bucket log-ratios are scaled to BIGINT (round(1e9·ln(...)) of an
+    exactly-representable rational), so the per-doc Σ cnt·ratio is an
+    INTEGER sum — associativity-free, immune to Spark partition-merge
+    order, bit-identical across engines and reruns.
+  * the only per-doc float math (÷1e9, the Gumbel double-log) is a fixed
+    closed form per doc, rounded to 6dp on both sides.
+
+Scale shape (100 TB):
+
+  * gram build is a pure map (split + zip_with, no UDF); the only corpus
+    shuffles are compact (doc_id, bucket, cnt) rows — token text never
+    shuffles.
+  * the log-ratio table is ``n_buckets`` rows, broadcast onto the per-doc
+    counts; the fit aggregation feeds a broadcast exchange so its subtree
+    runs ONCE.  In production fit on a sample (``fit_sample``) the way the
+    paper fits on held-out target/raw subsets — the applied table is then
+    a tiny static artifact, and the corpus is scanned once.
+  * top-k selection is two TakeOrderedAndProject passes (k rows) plus a
+    broadcast 1-row threshold — no global sort, no single-reducer window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .mixture import _u_col, duckdb_u_sql
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+# ASCII-only case fold via translate on BOTH engines: java/duckdb lower()
+# disagree on locale-sensitive codepoints (İ, ß); translate cannot.
+_SPLIT = "[^a-z0-9]+"
+_RATIO_SCALE = 1_000_000_000  # 1e9: BIGINT-scaled log-ratios
+
+
+def _grams_col(text: Column) -> Column:
+    """Word unigram + bigram array from ASCII-folded text (pure map)."""
+    folded = F.translate(text, _UPPER, _LOWER)
+    toks = F.filter(F.split(folded, _SPLIT), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    bigrams = F.when(
+        n > 1,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _bucket_col(gram: Column, n_buckets: int) -> Column:
+    """sha256-prefix bucket in [0, n_buckets) — exact in both engines."""
+    h = F.substring(F.sha2(gram, 256), 1, 8)
+    return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(n_buckets))
+
+
+def _doc_bucket_counts(
+    df: DataFrame, *, id_col: str, text_col: str, n_buckets: int,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, bucket, cnt [, extras]) — one compact-row shuffle."""
+    extras = extra_cols or []
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in extras],
+        F.explode(_grams_col(F.col(text_col))).alias("_gram"),
+    )
+    return grams.select(
+        "_id", *extras, _bucket_col(F.col("_gram"), n_buckets).alias("_bucket")
+    ).groupBy("_id", *extras, "_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+
+
+def dsir_logratio_table(
+    df: DataFrame,
+    *,
+    target_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    fit_sample: float | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Fit table: (bucket, ratio_i) with ratio_i = round(1e9 · ln(p_t/p_r)).
+
+    With add-½ smoothing the ratio argument is the exact rational
+    (2·ct+1)(2·Nr+K) / ((2·cr+1)(2·Nt+K)) — integer products, one division,
+    one ln, rounded to an integer: deterministic across engines.
+
+    ``fit_sample``: optional deterministic doc-hash sample fraction for the
+    fit pass (the paper fits on held-out subsets; at deployment scale this
+    is how the corpus avoids a second full scan).
+    """
+    fit_df = df
+    if fit_sample is not None:
+        fit_df = df.where(_u_col(F.col(id_col), seed) < F.lit(float(fit_sample)))
+    counts = _doc_bucket_counts(
+        fit_df, id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+        extra_cols=[target_col],
+    )
+    per_bucket = counts.groupBy("_bucket").agg(
+        F.sum("_cnt").alias("_raw"),
+        F.sum(F.when(F.col(target_col), F.col("_cnt")).otherwise(F.lit(0))).alias("_tgt"),
+    )
+    # totals via an unpartitioned window over the n_buckets-row aggregate —
+    # tiny input by construction (same deliberate shape as mixture weights)
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    nt = F.sum("_tgt").over(w_all)
+    nr = F.sum("_raw").over(w_all)
+    k = F.lit(n_buckets).cast("long")
+    num = (2 * F.col("_tgt") + 1).cast("double") * (2 * nr + k).cast("double")
+    den = (2 * F.col("_raw") + 1).cast("double") * (2 * nt + k).cast("double")
+    ratio_i = F.round(F.log(num / den) * F.lit(_RATIO_SCALE)).cast("long")
+    return per_bucket.select(
+        F.col("_bucket").alias("bucket"), ratio_i.alias("ratio_i")
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    ratios: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-doc importance: (id, n_grams, logw_i) — logw_i is the exact
+    BIGINT Σ cnt·ratio_i (missing buckets contribute ratio 0 ↔ p_t=p_r
+    under the smoothed fit only when counts are 0 on both sides; buckets
+    absent from the fit table are genuinely unseen and fold to 0)."""
+    counts = _doc_bucket_counts(
+        df, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    joined = counts.join(
+        F.broadcast(ratios), counts["_bucket"] == ratios["bucket"], "left"
+    )
+    return joined.groupBy("_id").agg(
+        F.sum("_cnt").alias("n_grams"),
+        F.sum(F.col("_cnt") * F.coalesce(F.col("ratio_i"), F.lit(0))).alias("logw_i"),
+    ).select(F.col("_id").alias(id_col), "n_grams", "logw_i")
+
+
+def dsir_select(
+    df: DataFrame,
+    *,
+    target_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    fit_sample: float | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Full DSIR pass: fit → importance → Gumbel top-k selection flags.
+
+    Output: (id, n_grams, logw_r, key_r, selected).  key = logw + Gumbel
+    noise g(u) = −ln(−ln u) with u = sha256-uniform(id) — the Gumbel-max
+    trick makes top-k a weighted sample without replacement.  Selection
+    compares against the k-th (key_r DESC, id ASC) row, resolved via two
+    TakeOrderedAndProject passes + a broadcast 1-row threshold."""
+    ratios = dsir_logratio_table(
+        df, target_col=target_col, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, fit_sample=fit_sample, seed=seed,
+    )
+    imp = dsir_importance(
+        df, ratios, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    # docs with no grams never entered `imp`: restore them with logw 0
+    base = df.select(F.col(id_col)).join(imp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("logw_i", F.lit(0)).alias("logw_i"),
+    )
+    u = _u_col(F.col(id_col), seed + 1)
+    logw = F.col("logw_i").cast("double") / F.lit(float(_RATIO_SCALE))
+    key = logw - F.log(-F.log(u))
+    scored = base.select(
+        F.col(id_col),
+        "n_grams",
+        F.round(logw, 6).alias("logw_r"),
+        F.round(key, 6).alias("key_r"),
+    )
+    kth = (
+        scored.orderBy(F.col("key_r").desc(), F.col(id_col).asc())
+        .limit(k)
+        .orderBy(F.col("key_r").asc(), F.col(id_col).desc())
+        .limit(1)
+        .select(
+            F.col("key_r").alias("_th_key"), F.col(id_col).alias("_th_id")
+        )
+    )
+    out = scored.crossJoin(F.broadcast(kth))
+    selected = (F.col("key_r") > F.col("_th_key")) | (
+        (F.col("key_r") == F.col("_th_key")) & (F.col(id_col) <= F.col("_th_id"))
+    )
+    return out.select(
+        F.col(id_col), "n_grams", "logw_r", "key_r", selected.alias("selected")
+    )
+
+
+# --------------------------------------------------------------- DuckDB twin
+
+
+def _duckdb_grams_cte(table: str, id_col: str, text_col: str) -> str:
+    """(id, gram) rows — unigrams + bigrams, ASCII fold, RE2 split."""
+    return f"""
+toks AS (
+  SELECT {id_col} AS _id,
+         list_filter(
+           regexp_split_to_array(
+             translate({text_col}, '{_UPPER}', '{_LOWER}'), '{_SPLIT}'),
+           t -> t <> '') AS _toks
+  FROM {table}
+), grams AS (
+  SELECT _id, unnest(list_concat(
+    _toks,
+    CASE WHEN len(_toks) > 1
+         THEN list_transform(range(1, len(_toks)),
+                             i -> _toks[i] || ' ' || _toks[i + 1])
+         ELSE [] END)) AS _gram
+  FROM toks
+)"""
+
+
+def _duckdb_bucket(expr: str, n_buckets: int) -> str:
+    return (
+        f"(('0x' || substr(sha256({expr}), 1, 8))::UBIGINT % {n_buckets})::BIGINT"
+    )
+
+
+def duckdb_dsir_sql(
+    table: str = "documents",
+    *,
+    target_pred: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of dsir_select (no fit_sample — twin of the full fit)."""
+    bucket = _duckdb_bucket("_gram", n_buckets)
+    u = duckdb_u_sql("d.doc_id_", seed + 1)
+    return f"""
+WITH {_duckdb_grams_cte(table, id_col, text_col)},
+counts AS (
+  SELECT g._id, {bucket} AS _bucket, COUNT(*) AS _cnt,
+         BOOL_OR(t._is_target) AS _is_target
+  FROM grams g JOIN (SELECT {id_col} AS _id, {target_pred} AS _is_target
+                     FROM {table}) t USING (_id)
+  GROUP BY 1, 2
+), per_bucket AS (
+  SELECT _bucket, SUM(_cnt) AS _raw,
+         SUM(CASE WHEN _is_target THEN _cnt ELSE 0 END) AS _tgt
+  FROM counts GROUP BY 1
+), ratios AS (
+  SELECT _bucket,
+         CAST(round(ln(
+           ((2 * _tgt + 1) * (2 * SUM(_raw) OVER () + {n_buckets}))::DOUBLE /
+           ((2 * _raw + 1) * (2 * SUM(_tgt) OVER () + {n_buckets}))::DOUBLE
+         ) * {_RATIO_SCALE}) AS BIGINT) AS ratio_i
+  FROM per_bucket
+), per_doc AS (
+  SELECT c._id, SUM(c._cnt) AS n_grams,
+         SUM(c._cnt * COALESCE(r.ratio_i, 0)) AS logw_i
+  FROM counts c LEFT JOIN ratios r USING (_bucket)
+  GROUP BY 1
+), scored AS (
+  SELECT d.{id_col} AS doc_id_,
+         CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+         COALESCE(p.logw_i, 0) AS logw_i
+  FROM {table} d LEFT JOIN per_doc p ON p._id = d.{id_col}
+), keyed AS (
+  SELECT doc_id_, n_grams,
+         round(logw_i::DOUBLE / {_RATIO_SCALE}, 6) AS logw_r,
+         round(logw_i::DOUBLE / {_RATIO_SCALE} - ln(-ln({u})), 6) AS key_r
+  FROM scored d
+), topk AS (
+  SELECT key_r, doc_id_ FROM keyed
+  ORDER BY key_r DESC, doc_id_ ASC LIMIT {k}
+), th AS (
+  -- the k-th row, or the last row when fewer than k exist (mirrors the
+  -- Spark limit(k) → reverse-order limit(1) pair)
+  SELECT key_r AS th_key, doc_id_ AS th_id FROM topk
+  ORDER BY key_r ASC, doc_id_ DESC LIMIT 1
+)
+SELECT doc_id_ AS {id_col}, n_grams, logw_r, key_r,
+       (key_r > th.th_key OR (key_r = th.th_key AND doc_id_ <= th.th_id))
+         AS selected
+FROM keyed CROSS JOIN th
+ORDER BY doc_id_
+"""

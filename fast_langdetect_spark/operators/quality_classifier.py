@@ -1,0 +1,152 @@
+"""GPT-3-style trained quality classifier + Pareto resampling.
+
+Brown et al. 2020 (arXiv:2005.14165, Appendix A) describe the canonical
+trained quality filter — and it is natively a Spark recipe: "a classifier
+using Spark's standard tokenizer and HashingTF", logistic regression,
+positives = curated corpora, negatives = raw Common Crawl, then keep a
+document iff
+
+    np.random.pareto(alpha) > 1 - document_score        (alpha = 9)
+
+so most kept docs score high but a long tail of low-scorers survives
+(importance-smoothing the cut).  This module rebuilds exactly that shape
+with pyspark.ml — the same Tokenizer/HashingTF/LogisticRegression stack
+the paper names — plus a DETERMINISTIC Pareto draw so the keep decision
+is reproducible across runs, engines, and reshuffles:
+
+    u(doc)   = sha256-uniform in [0,1)          (mixture._u_col)
+    pareto_u = (1-u)^(-1/alpha) - 1             (inverse CDF)
+    keep     = pareto_u > 1 - score
+
+No counterpart in /root/reference; LLM-pipeline extension surface
+(SURVEY §2 extras), sibling of operators/dsir.py (the 2023 successor
+recipe) and operators/mixture.py.
+
+Scale shape (100 TB):
+
+  * featurization (Tokenizer + HashingTF) is a pure map — no shuffle.
+  * LR training is MLlib's distributed L-BFGS: one treeAggregate gradient
+    pass per iteration over the TRAINING set.  Train on a label sample
+    (curated-vs-raw is naturally small), never the full corpus; the
+    fitted model is a single coefficient vector (n_features doubles)
+    broadcast to executors for scoring.
+  * scoring + the Pareto keep rule are pure maps over the corpus.
+
+The trained scorer is NOT SQL-expressible (iterative L-BFGS), so the
+driver query for this operator is registered without a DuckDB oracle —
+the harness records the weaker rows+schema check, and the operator's own
+correctness evidence is the separable-corpus accuracy test in
+tests/test_quality_classifier.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .mixture import _u_col
+
+DEFAULT_N_FEATURES = 1 << 18
+PARETO_ALPHA = 9.0
+
+
+def build_classifier_pipeline(
+    *,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_features: int = DEFAULT_N_FEATURES,
+    max_iter: int = 50,
+    reg_param: float = 1e-4,
+):
+    """The GPT-3 appendix-A stack: Tokenizer → HashingTF → LogisticRegression."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="_qc_tokens")
+    tf = HashingTF(
+        inputCol="_qc_tokens", outputCol="_qc_features", numFeatures=n_features
+    )
+    lr = LogisticRegression(
+        featuresCol="_qc_features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=False,
+    )
+    return Pipeline(stages=[tok, tf, lr])
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_features: int = DEFAULT_N_FEATURES,
+    max_iter: int = 50,
+    reg_param: float = 1e-4,
+):
+    """Fit on a labeled sample (positives = curated, negatives = raw).
+    Returns the fitted PipelineModel (coefficients broadcast at scoring)."""
+    pipe = build_classifier_pipeline(
+        text_col=text_col,
+        label_col=label_col,
+        n_features=n_features,
+        max_iter=max_iter,
+        reg_param=reg_param,
+    )
+    return pipe.fit(labeled)
+
+
+def score_quality(model, df: DataFrame, *, score_col: str = "quality_score") -> DataFrame:
+    """P(curated | doc) from the fitted model — pure map over the corpus."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df)
+    keep_cols = [c for c in df.columns]
+    return scored.select(
+        *keep_cols,
+        vector_to_array(F.col("probability")).getItem(1).alias(score_col),
+    )
+
+
+def pareto_keep(
+    df: DataFrame,
+    *,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    alpha: float = PARETO_ALPHA,
+    seed: int = 17,
+) -> DataFrame:
+    """GPT-3's keep rule with a deterministic Pareto draw:
+    keep iff (1-u)^(-1/alpha) - 1 > 1 - score."""
+    u = _u_col(F.col(id_col), seed)
+    pareto_u = F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(alpha))) - F.lit(1.0)
+    return df.select(
+        *df.columns,
+        (pareto_u > (F.lit(1.0) - F.col(score_col))).alias("keep"),
+    )
+
+
+def classifier_filter(
+    corpus: DataFrame,
+    labeled: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    n_features: int = DEFAULT_N_FEATURES,
+    alpha: float = PARETO_ALPHA,
+    seed: int = 17,
+    max_iter: int = 50,
+) -> DataFrame:
+    """End-to-end: train on `labeled`, score `corpus`, apply the Pareto keep."""
+    model = train_quality_classifier(
+        labeled,
+        text_col=text_col,
+        label_col=label_col,
+        n_features=n_features,
+        max_iter=max_iter,
+    )
+    scored = score_quality(model, corpus)
+    return pareto_keep(scored, id_col=id_col, alpha=alpha, seed=seed)

@@ -1,0 +1,150 @@
+"""DSIR importance-resampling operator (operators/dsir.py) — gram/bucket
+semantics, integer-sum determinism, Gumbel top-k selection, DuckDB twin."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark.operators.dsir import (
+    _grams_col,
+    dsir_importance,
+    dsir_logratio_table,
+    dsir_select,
+    duckdb_dsir_sql,
+)
+
+CORPUS = [
+    # target-ish docs: english-looking prose
+    (1, "The quick brown fox jumps over the lazy dog", True),
+    (2, "A fast brown fox and the lazy dog again", True),
+    (3, "English prose about the weather and the sea", True),
+    (4, "More English text with common the and of words", True),
+    # raw-only docs: different vocabulary
+    (5, "zzz qqq www eee rrr ttt yyy uuu", False),
+    (6, "lorem ipsum dolor sit amet consectetur", False),
+    (7, "xv9 q2k p0m unusual tokens here entirely", False),
+    (8, "", False),  # no grams at all
+    (9, "THE QUICK brown FOX", True),  # case-fold overlap with doc 1
+    (10, "punct,separated;tokens!here?and...more", False),
+]
+
+
+def _spark_corpus(spark):
+    return spark.createDataFrame(
+        [(i, t, flag) for i, t, flag in CORPUS],
+        "doc_id long, text string, is_tgt boolean",
+    )
+
+
+def test_grams_unigrams_and_bigrams(spark):
+    df = spark.createDataFrame([("Hello, World again",)], "t string")
+    row = df.select(_grams_col(F.col("t")).alias("g")).first()
+    assert row["g"] == [
+        "hello", "world", "again", "hello world", "world again"
+    ]
+
+
+def test_grams_empty_and_single_token(spark):
+    df = spark.createDataFrame([("",), ("  ,,  ",), ("solo",)], "t string")
+    rows = df.select(_grams_col(F.col("t")).alias("g")).collect()
+    assert rows[0]["g"] == []
+    assert rows[1]["g"] == []
+    assert rows[2]["g"] == ["solo"]
+
+
+def test_importance_integer_sum_is_stable(spark):
+    """logw_i is an exact BIGINT sum — identical across repeated runs and
+    repartitionings (the float-associativity hazard the scaling design
+    removes)."""
+    docs = _spark_corpus(spark)
+    ratios = dsir_logratio_table(docs, target_col="is_tgt", n_buckets=64)
+    a = {
+        r["doc_id"]: r["logw_i"]
+        for r in dsir_importance(docs, ratios, n_buckets=64).collect()
+    }
+    b = {
+        r["doc_id"]: r["logw_i"]
+        for r in dsir_importance(
+            docs.repartition(7), ratios, n_buckets=64
+        ).collect()
+    }
+    assert a == b
+    assert all(isinstance(v, int) for v in a.values())
+
+
+def test_select_shape_and_k(spark):
+    out = dsir_select(
+        _spark_corpus(spark), target_col="is_tgt", k=4, n_buckets=64
+    )
+    rows = out.collect()
+    assert len(rows) == len(CORPUS)
+    assert sum(r["selected"] for r in rows) == 4
+    # the empty doc is present with zero grams and logw 0
+    empty = next(r for r in rows if r["doc_id"] == 8)
+    assert empty["n_grams"] == 0 and empty["logw_r"] == 0.0
+
+
+def test_select_k_exceeds_corpus(spark):
+    out = dsir_select(
+        _spark_corpus(spark), target_col="is_tgt", k=1000, n_buckets=64
+    ).collect()
+    assert all(r["selected"] for r in out)
+
+
+def test_target_docs_weigh_higher(spark):
+    """Mean importance of target-distribution docs must exceed raw-only
+    docs — the point of the operator."""
+    out = dsir_select(
+        _spark_corpus(spark), target_col="is_tgt", k=4, n_buckets=64
+    ).collect()
+    tgt_ids = {i for i, _, f in CORPUS if f}
+    raw_ids = {i for i, _, f in CORPUS if not f and i != 8}
+    mean = lambda ids: sum(  # noqa: E731
+        r["logw_r"] for r in out if r["doc_id"] in ids
+    ) / len(ids)
+    assert mean(tgt_ids) > mean(raw_ids)
+
+
+def test_duckdb_twin_exact(spark):
+    """Spark and the DuckDB twin agree on every column, bit-exact after the
+    contract rounding (integer logw sums make this deterministic)."""
+    docs = _spark_corpus(spark).withColumn(
+        "lang", F.when(F.col("is_tgt"), "en").otherwise("xx")
+    )
+    got = (
+        dsir_select(docs, target_col="is_tgt", k=4, n_buckets=64, seed=7)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            [(i, t, "en" if f else "xx") for i, t, f in CORPUS],
+            columns=["doc_id", "text", "lang"],
+        ),
+    )
+    want = con.execute(
+        duckdb_dsir_sql(
+            "documents", target_pred="lang = 'en'", k=4, n_buckets=64, seed=7
+        )
+    ).fetchdf()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
+
+
+def test_fit_sample_path(spark):
+    """Sampled fit runs and still produces a full-corpus selection."""
+    out = dsir_select(
+        _spark_corpus(spark),
+        target_col="is_tgt",
+        k=3,
+        n_buckets=64,
+        fit_sample=0.8,
+    ).collect()
+    assert len(out) == len(CORPUS)
+    assert sum(r["selected"] for r in out) == 3

@@ -1,0 +1,83 @@
+"""GPT-3-style trained quality classifier (operators/quality_classifier.py):
+separable-corpus accuracy, deterministic Pareto keep rule, end-to-end shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fast_langdetect_spark.operators.quality_classifier import (
+    classifier_filter,
+    pareto_keep,
+    score_quality,
+    train_quality_classifier,
+)
+
+GOOD_WORDS = "the of and in science history nature language model data".split()
+SPAM_WORDS = "buy cheap click free winner casino pills viagra offer now".split()
+
+
+def _corpus(spark, n=120, holdout=False):
+    rows = []
+    for i in range(n):
+        words = GOOD_WORDS if i % 2 == 0 else SPAM_WORDS
+        # deterministic word soup from the class vocabulary
+        text = " ".join(words[(i + j) % len(words)] for j in range(12))
+        rows.append((i + (10000 if holdout else 0), text, float(i % 2 == 0)))
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def test_classifier_separates_holdout(spark):
+    train = _corpus(spark, n=120)
+    hold = _corpus(spark, n=40, holdout=True)
+    model = train_quality_classifier(train, n_features=1 << 14, max_iter=25)
+    scored = score_quality(model, hold.select("doc_id", "text", "label"))
+    rows = scored.collect()
+    acc = sum(
+        ((r["quality_score"] > 0.5) == (r["label"] == 1.0)) for r in rows
+    ) / len(rows)
+    assert acc >= 0.95
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+
+
+def test_pareto_keep_extremes(spark):
+    """score=1 keeps (pareto_u > 0 for any u > 0); score=0 keeps only the
+    ~0.2% tail with u > 1 - 2^-9."""
+    n = 500
+    hi = spark.createDataFrame(
+        [(i, 1.0) for i in range(n)], "doc_id long, quality_score double"
+    )
+    lo = spark.createDataFrame(
+        [(i, 0.0) for i in range(n)], "doc_id long, quality_score double"
+    )
+    hi_rate = sum(r["keep"] for r in pareto_keep(hi).collect()) / n
+    lo_rate = sum(r["keep"] for r in pareto_keep(lo).collect()) / n
+    assert hi_rate >= 0.99
+    assert lo_rate <= 0.02
+
+
+def test_pareto_keep_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, 0.5 + (i % 5) / 10.0) for i in range(100)],
+        "doc_id long, quality_score double",
+    )
+    a = sorted((r["doc_id"], r["keep"]) for r in pareto_keep(df).collect())
+    b = sorted(
+        (r["doc_id"], r["keep"])
+        for r in pareto_keep(df.repartition(13)).collect()
+    )
+    assert a == b
+
+
+def test_classifier_filter_end_to_end(spark):
+    labeled = _corpus(spark, n=120)
+    corpus = _corpus(spark, n=60, holdout=True).select("doc_id", "text")
+    out = classifier_filter(
+        corpus, labeled, n_features=1 << 14, max_iter=25
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"doc_id", "text", "quality_score", "keep"}
+    assert len(rows) == 60
+    good = [r for r in rows if r["doc_id"] % 2 == 0]
+    spam = [r for r in rows if r["doc_id"] % 2 == 1]
+    keep_rate = lambda rs: sum(r["keep"] for r in rs) / len(rs)  # noqa: E731
+    assert keep_rate(good) > 0.9
+    assert keep_rate(spam) < 0.3

@@ -59,24 +59,40 @@ def gopher_repetition_window(
             F.regexp_replace(F.col(text_col), _TOKEN_SPLIT[:-1], "")
         ).alias("_total"),
     )
-    toks = base.select(
-        "_id", "_total", F.posexplode("_toks").alias("_pos", "_tok")
-    ).where(F.col("_tok") != "")
+    # narrow sort rows, matching the r04 "xxhash64 gram columns" variant:
+    # hash each token to a long BEFORE the window so the shuffle/sort moves
+    # (id, pos, thash, tlen) instead of token strings, and gram hashes
+    # combine the lead hash longs (collision-equivalent gram key)
+    toks = (
+        base.select("_id", "_total", F.posexplode("_toks").alias("_pos", "_tok"))
+        .where(F.col("_tok") != "")
+        .select(
+            "_id",
+            "_total",
+            "_pos",
+            F.xxhash64("_tok").alias("_th"),
+            F.length("_tok").alias("_tl"),
+        )
+    )
     w = Window.partitionBy("_id").orderBy("_pos")
-    lead_cols = [F.col("_tok")] + [
-        F.lead("_tok", i).over(w).alias(f"_l{i}") for i in range(1, max_n)
+    lead_cols = [F.col("_th"), F.col("_tl")] + [
+        c
+        for i in range(1, max_n)
+        for c in (
+            F.lead("_th", i).over(w).alias(f"_h{i}"),
+            F.lead("_tl", i).over(w).alias(f"_l{i}"),
+        )
     ]
     led = toks.select("_id", "_total", *lead_cols)
-    parts_all = [F.col("_tok")] + [F.col(f"_l{i}") for i in range(1, max_n)]
+    hashes_all = [F.col("_th")] + [F.col(f"_h{i}") for i in range(1, max_n)]
+    lens_all = [F.col("_tl")] + [F.col(f"_l{i}") for i in range(1, max_n)]
 
     def gram_struct(n: int) -> Column:
-        parts = parts_all[:n]
-        gchars = sum((F.length(p) for p in parts[1:]), F.length(parts[0]))
+        hs = hashes_all[:n]
+        gchars = sum(lens_all[1:n], lens_all[0])
         return F.struct(
             F.lit(n).alias("_n"),
-            F.when(
-                parts[-1].isNotNull(), F.xxhash64(F.lit(n), *parts)
-            ).alias("_ghash"),
+            F.when(hs[-1].isNotNull(), F.xxhash64(F.lit(n), *hs)).alias("_ghash"),
             gchars.alias("_gchars"),
         )
 
@@ -183,7 +199,11 @@ def main() -> None:
             canary = bench._canary_sec()
             c0 = bench._tree_cpu_jiffies()
             t0 = time.time()
-            fn()
+            err = None
+            try:
+                fn()
+            except Exception as exc:  # e.g. SparkOutOfMemoryError — record, go on
+                err = f"{type(exc).__name__}: {str(exc)[:200]}"
             dt = time.time() - t0
             cpu = (bench._tree_cpu_jiffies() - c0) / hz
             canary_after = bench._canary_sec()
@@ -197,6 +217,7 @@ def main() -> None:
                         "canary": canary,
                         "canary_after": canary_after,
                         "gate_load": load,
+                        **({"error": err} if err else {}),
                     }
                 ),
                 flush=True,
