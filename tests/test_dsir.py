@@ -148,3 +148,52 @@ def test_fit_sample_path(spark):
     ).collect()
     assert len(out) == len(CORPUS)
     assert sum(r["selected"] for r in out) == 3
+
+
+def test_dsir_twin_fuzz_mixed_script(spark):
+    """Fuzz the full DSIR twin on adversarial text: mixed scripts,
+    supplementary-plane emoji (UTF-16 surrogate pairs are [^a-z0-9]
+    separators in Java; codepoints in RE2 — both must collapse), ASCII
+    case-fold boundaries (İ/ß stay untouched by translate), digits glued
+    to punctuation.  Integer logw sums make exact equality the bar."""
+    import random
+
+    import duckdb as _duckdb
+
+    rng = random.Random(20260818)
+    vocab = [
+        "Alpha", "BETA", "gamma7", "x9y", "日本語", "naïve", "İstanbul",
+        "straße", "\U0001F600", "a\U0001F600b", "3.14", "foo_bar", "Q-tip",
+        "", "the", "of",
+    ]
+    seps = ["", " ", ", ", "\t", "\n\n", "!!", "…", " "]
+    texts = []
+    for _ in range(50):
+        n = rng.randrange(0, 14)
+        texts.append(
+            "".join(rng.choice(vocab) + rng.choice(seps) for _ in range(n))
+        )
+    rows = [(i, t, i % 3 == 0) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    got = (
+        dsir_select(docs, target_col="is_tgt", k=10, n_buckets=128, seed=3)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = _duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            [(i, t, "en" if f else "xx") for i, t, f in rows],
+            columns=["doc_id", "text", "lang"],
+        ),
+    )
+    want = con.execute(
+        duckdb_dsir_sql(
+            "documents", target_pred="lang = 'en'", k=10, n_buckets=128, seed=3
+        )
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
