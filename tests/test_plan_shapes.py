@@ -169,3 +169,23 @@ def test_pack_sequences_single_bucket_window(spark):
     )
     assert plan.count("Window") == 1
     assert "Generate" in plan  # posexplode stays in the same stage
+
+
+def test_dsir_broadcast_ratio_and_compact_shuffles(spark):
+    """DSIR scale shape: the n_buckets-row log-ratio table reaches the
+    per-doc counts via a BROADCAST join (never a shuffled one), and no
+    Exchange in the plan carries the document text — only compact
+    (id, bucket, cnt) rows and the id-keyed weight rows move."""
+    from fast_langdetect_spark.operators.dsir import dsir_select
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with words", i % 2 == 0) for i in range(40)],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    out = dsir_select(docs, target_col="is_tgt", k=5, n_buckets=32)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # no Exchange partitions on the text payload — only ids/buckets move
+    for chunk in plan.split("Exchange ")[1:]:
+        assert "text" not in chunk.splitlines()[0]
