@@ -176,14 +176,24 @@ def dsir_select(
     n_buckets: int = 1024,
     fit_sample: float | None = None,
     seed: int = 7,
+    exact_topk: bool = True,
+    select_frac: float | None = None,
 ) -> DataFrame:
     """Full DSIR pass: fit → importance → Gumbel top-k selection flags.
 
     Output: (id, n_grams, logw_r, key_r, selected).  key = logw + Gumbel
     noise g(u) = −ln(−ln u) with u = sha256-uniform(id) — the Gumbel-max
-    trick makes top-k a weighted sample without replacement.  Selection
-    compares against the k-th (key_r DESC, id ASC) row, resolved via two
-    TakeOrderedAndProject passes + a broadcast 1-row threshold."""
+    trick makes top-k a weighted sample without replacement.
+
+    ``exact_topk=True`` (oracle path): selection compares against the
+    k-th (key_r DESC, id ASC) row, resolved via two TakeOrderedAndProject
+    passes + a broadcast 1-row threshold — exact, but the intermediate
+    top-k materialization bounds k to what a driver comfortably holds
+    (~1e6).  ``exact_topk=False`` (100 TB path, same duality as
+    perplexity.ccnet_buckets): the threshold is percentile_approx of
+    key_r at quantile 1−select_frac — one aggregation over the compact
+    weight rows, no ordered materialization, selects ≈select_frac·N docs
+    at any scale (``k`` is ignored; pass ``select_frac``)."""
     ratios = dsir_logratio_table(
         df, target_col=target_col, id_col=id_col, text_col=text_col,
         n_buckets=n_buckets, fit_sample=fit_sample, seed=seed,
@@ -206,19 +216,31 @@ def dsir_select(
         F.round(logw, 6).alias("logw_r"),
         F.round(key, 6).alias("key_r"),
     )
-    kth = (
-        scored.orderBy(F.col("key_r").desc(), F.col(id_col).asc())
-        .limit(k)
-        .orderBy(F.col("key_r").asc(), F.col(id_col).desc())
-        .limit(1)
-        .select(
-            F.col("key_r").alias("_th_key"), F.col(id_col).alias("_th_id")
+    if exact_topk:
+        kth = (
+            scored.orderBy(F.col("key_r").desc(), F.col(id_col).asc())
+            .limit(k)
+            .orderBy(F.col("key_r").asc(), F.col(id_col).desc())
+            .limit(1)
+            .select(
+                F.col("key_r").alias("_th_key"), F.col(id_col).alias("_th_id")
+            )
         )
-    )
-    out = scored.crossJoin(F.broadcast(kth))
-    selected = (F.col("key_r") > F.col("_th_key")) | (
-        (F.col("key_r") == F.col("_th_key")) & (F.col(id_col) <= F.col("_th_id"))
-    )
+        out = scored.crossJoin(F.broadcast(kth))
+        selected = (F.col("key_r") > F.col("_th_key")) | (
+            (F.col("key_r") == F.col("_th_key"))
+            & (F.col(id_col) <= F.col("_th_id"))
+        )
+    else:
+        # select_frac path: percentile_approx needs a foldable percentage,
+        # so the approximate threshold is expressed as a corpus fraction
+        kth = scored.agg(
+            F.percentile_approx(
+                "key_r", F.lit(1.0 - select_frac), F.lit(10_000)
+            ).alias("_th_key")
+        )
+        out = scored.crossJoin(F.broadcast(kth))
+        selected = F.col("key_r") >= F.col("_th_key")
     return out.select(
         F.col(id_col), "n_grams", "logw_r", "key_r", selected.alias("selected")
     )

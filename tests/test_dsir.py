@@ -197,3 +197,34 @@ def test_dsir_twin_fuzz_mixed_script(spark):
         got.reset_index(drop=True),
         want.astype(got.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+def test_approx_select_frac_path(spark):
+    """The 100 TB selection path (percentile_approx threshold) must agree
+    with exact top-k to within quantile-sketch granularity on the same
+    corpus, selecting ~select_frac of docs without any ordered
+    materialization."""
+    docs = _spark_corpus(spark)
+    exact = {
+        r["doc_id"]: r["selected"]
+        for r in dsir_select(
+            docs, target_col="is_tgt", k=4, n_buckets=64
+        ).collect()
+    }
+    approx_rows = dsir_select(
+        docs,
+        target_col="is_tgt",
+        k=4,
+        n_buckets=64,
+        exact_topk=False,
+        select_frac=0.4,
+    ).collect()
+    approx = {r["doc_id"]: r["selected"] for r in approx_rows}
+    n_sel = sum(approx.values())
+    assert 3 <= n_sel <= 5
+    # the clear winners (exact-selected, strictly above the approx
+    # threshold band) must be approx-selected too
+    keys = {r["doc_id"]: r["key_r"] for r in approx_rows}
+    top2 = sorted(keys, key=lambda i: (-keys[i], i))[:2]
+    assert all(approx[i] for i in top2)
+    assert all(exact[i] for i in top2)

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""One-off 500k-file scale measurement for the round-5 selection operators
+(DSIR importance resampling; GPT-3-style trained quality classifier) on the
+bench corpus — wall / tree-cpu / canary per rep, JSON lines to stdout.
+
+Run in a quiet window only (see CLAUDE.md host landmines).
+Usage: python tools/selection_bench.py [reps=2]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from fast_langdetect_spark.operators.dsir import dsir_select  # noqa: E402
+from fast_langdetect_spark.operators.quality_classifier import (  # noqa: E402
+    classifier_filter,
+)
+from fast_langdetect_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    hz = os.sysconf("SC_CLK_TCK")
+    spark = build_session(
+        app_name="selection-bench", cpus=32, shuffle_partitions=256
+    )
+    corpus = bench._materialize_corpus(spark, bench.BENCH_CORPUS_ROWS)
+    docs = spark.read.parquet(corpus).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+        # deterministic pseudo-domain target: ~half the corpus
+        (F.pmod(F.xxhash64("repo"), F.lit(2)) == 0).alias("is_tgt"),
+    )
+
+    def run_dsir() -> None:
+        out = dsir_select(
+            docs, target_col="is_tgt", k=100_000, n_buckets=4096, seed=7
+        )
+        out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("selected").cast("long")).alias("sel"),
+            F.sum("n_grams").alias("grams"),
+        ).collect()
+
+    def run_classifier() -> None:
+        labeled = docs.select(
+            "doc_id", "text", F.col("is_tgt").cast("double").alias("label")
+        ).where(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0)  # ~10% label sample
+        out = classifier_filter(
+            docs.select("doc_id", "text"), labeled,
+            n_features=1 << 18, max_iter=20,
+        )
+        out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        ).collect()
+
+    variants = [("dsir_500k", run_dsir), ("classifier_500k", run_classifier)]
+    # warm-in on a slice (JIT/codegen; round-5 steady-state protocol)
+    small = docs.limit(20000).cache()
+    small.count()
+    for _, fn in variants:
+        pass
+    dsir_select(small, target_col="is_tgt", k=1000, n_buckets=4096).agg(
+        F.count(F.lit(1))
+    ).collect()
+
+    for rep in range(reps):
+        for tag, fn in variants:
+            load = bench._wait_quiet()
+            canary = bench._canary_sec()
+            c0 = bench._tree_cpu_jiffies()
+            t0 = time.time()
+            err = None
+            try:
+                fn()
+            except Exception as exc:
+                err = f"{type(exc).__name__}: {str(exc)[:200]}"
+            print(
+                json.dumps(
+                    {
+                        "variant": tag,
+                        "rep": rep,
+                        "wall": round(time.time() - t0, 3),
+                        "cpu": round((bench._tree_cpu_jiffies() - c0) / hz, 1),
+                        "canary": canary,
+                        "canary_after": bench._canary_sec(),
+                        "gate_load": load,
+                        **({"error": err} if err else {}),
+                    }
+                ),
+                flush=True,
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
