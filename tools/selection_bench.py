@@ -68,11 +68,10 @@ def main() -> None:
     # warm-in on a slice (JIT/codegen; round-5 steady-state protocol)
     small = docs.limit(20000).cache()
     small.count()
-    for _, fn in variants:
-        pass
     dsir_select(small, target_col="is_tgt", k=1000, n_buckets=4096).agg(
         F.count(F.lit(1))
     ).collect()
+    small.unpersist()
 
     for rep in range(reps):
         for tag, fn in variants:
