@@ -1,4 +1,16 @@
 import os
+
+# Pin BLAS threading BEFORE any numpy GEMM runs in this process: OpenBLAS
+# captures its thread pool at first use and ignores later env changes, and
+# sgemm results differ by 1 ULP between thread counts (verified: doc-139's
+# en score is 0x3f22facf at 1-4 threads vs 0x3f22face at 32).  Executors
+# are pinned to 1 thread (session.py / __spark_entry__.py); the oracle
+# twins recompute locally in THIS process, so an unpinned main process
+# flips 6dp-boundary roundings and flakes the contract tests depending on
+# which test module's import ran a GEMM first.
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
+
 import sys
 from pathlib import Path
 
