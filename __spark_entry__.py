@@ -33,6 +33,15 @@ _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
+# The env pins above only work if numpy has not been imported yet — OpenBLAS
+# reads them at dlopen and ignores later changes, and sgemm differs by 1 ULP
+# across thread counts.  Clamp the already-loaded pool too, so the local
+# oracle recomputes (signature CTEs) match the 1-thread executors no matter
+# what the host process imported first.
+from fast_langdetect_spark.session import force_single_thread_blas as _fstb
+
+_fstb()
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -20,12 +20,46 @@ from pyspark.sql import SparkSession
 DEFAULT_ARROW_BATCH = 8192
 
 
+def force_single_thread_blas() -> bool:
+    """Clamp the ALREADY-LOADED OpenBLAS pool to 1 thread (runtime API).
+
+    Env pinning (OPENBLAS_NUM_THREADS et al.) only works if set before
+    numpy's dlopen — OpenBLAS reads it in the library constructor and
+    ignores later changes.  sgemm results differ by 1 ULP between thread
+    counts (doc-139 en score 0x3f22facf @1 thread vs 0x3f22face @32), so
+    any driver-side recompute that must match the 1-thread executors
+    (oracle twins, golden fixtures) calls this defensively: it finds the
+    loaded libopenblas via /proc/self/maps and calls
+    openblas_set_num_threads, which takes effect immediately."""
+    import ctypes
+
+    try:
+        libs = {
+            line.split()[-1]
+            for line in open("/proc/self/maps")
+            if "openblas" in line.lower() and line.split()[-1].startswith("/")
+        }
+        for path in sorted(libs):
+            lib = ctypes.CDLL(path)
+            for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+                fn = getattr(lib, sym, None)
+                if fn is not None:
+                    fn(1)
+                    return True
+    except Exception:  # pragma: no cover - non-Linux / static BLAS
+        pass
+    return False
+
+
 def build_session(
     app_name: str = "fast-langdetect-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # driver-process numpy must match the 1-thread executors (ULP parity
+    # for oracle twins / goldens), even when numpy loaded before env pins
+    force_single_thread_blas()
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:

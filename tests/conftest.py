@@ -19,6 +19,12 @@ import pytest
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
+# belt for the same ULP landmine when numpy beat the env pins into the
+# process: clamp the already-loaded OpenBLAS pool via its runtime API
+from fast_langdetect_spark.session import force_single_thread_blas  # noqa: E402
+
+force_single_thread_blas()
+
 # Offline stand-in for the full model (lid.176.bin is not fetchable):
 # a REAL dense .bin materialized from the lite artifact via the package's
 # own serializer, so model='full'/'auto' tests run the DENSE loader branch
