@@ -942,7 +942,7 @@ def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fast_langdetect_spark.operators.repetition import (
         DUP_NGRAM_THRESHOLDS,
         TOP_NGRAM_THRESHOLDS,
-        gopher_repetition,
+        gopher_repetition_fast,
     )
 
     d = F.col("doc_id")
@@ -958,7 +958,11 @@ def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("")),
         ).alias("text"),
     )
-    out = gopher_repetition(aug)
+    # the zero-shuffle NumPy fast path — BIT-identical to the Catalyst
+    # gopher_repetition (equality pinned in tests/test_repetition.py), so
+    # the same DuckDB twin oracles it; measured 5-8x wall / 3-9x cpu
+    # faster at 500k (BENCH.md round-5 fast-path A/B)
+    out = gopher_repetition_fast(aug)
     frac_cols = [f"top_{n}gram_char_frac" for n in sorted(TOP_NGRAM_THRESHOLDS)] + [
         f"dup_{n}gram_char_frac" for n in sorted(DUP_NGRAM_THRESHOLDS)
     ]

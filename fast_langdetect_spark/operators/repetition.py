@@ -495,3 +495,157 @@ def golden_line_repetition(
         out[k] > v for k, v in thresholds.items()
     )
     return out
+
+
+# ------------------------------------------------------- Arrow fast path
+
+
+def gopher_repetition_fast(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_thresholds: Mapping[int, float] = TOP_NGRAM_THRESHOLDS,
+    dup_thresholds: Mapping[int, float] = DUP_NGRAM_THRESHOLDS,
+) -> DataFrame:
+    """Value-identical fast path for :func:`gopher_repetition`: a flat-array
+    NumPy kernel behind ONE ``mapInPandas`` stage — ZERO shuffles.
+
+    The Catalyst shape pays one compact doc-row repartition plus a hash
+    aggregate over ~9 gram rows per token (measured round 5: 209-238 s /
+    4,473 cpu-s per 500k files).  But every metric here is a WITHIN-doc
+    reduction, so the 100 TB-minimal plan is per-document map-side compute:
+    tokens, rolling gram hashes, and per-(doc,n) counts via one lexsort per
+    gram size over the batch's flat token arrays — C-speed, no JVM↔shuffle
+    of gram rows, one Arrow crossing.  Outputs are bit-identical to the
+    Catalyst form: every count/length is an integer and the final division
+    is the same float64 op (equality pinned by tests/test_repetition.py).
+
+    Gram keys are 64-bit rolling poly-hashes of per-token byte hashes
+    (wraparound uint64); collisions only matter within one (doc, n) group
+    — same 1e-8 birthday argument as the Catalyst xxhash64 form, and the
+    DuckDB twin remains the collision-free check.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    top_ns = sorted(top_thresholds)
+    dup_ns = sorted(dup_thresholds)
+    all_ns = sorted({*top_ns, *dup_ns})
+    if not all_ns or min(all_ns) < 2:
+        raise ValueError("n-gram sizes must be >= 2")
+    import re as _re
+
+    token_re = _re.compile(_TOKEN_SPLIT)
+    seps = " \t\r\n\f"
+    out_fields = (
+        [f"top_{n}gram_char_frac" for n in top_ns]
+        + [f"dup_{n}gram_char_frac" for n in dup_ns]
+    )
+    schema = (
+        f"{id_col} long, "
+        + ", ".join(f"{f} double" for f in out_fields)
+        + ", is_repetitive boolean"
+    )
+    # rolling-hash constants (odd => invertible mod 2^64, good diffusion)
+    P_BYTE = np.uint64(0x100000001B3)  # byte-level poly base (FNV prime)
+    P_TOK = np.uint64(0x9E3779B97F4A7C15)  # token-level rolling base
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            n_docs = len(ids)
+            tok_lists = [
+                [t for t in token_re.split(s.strip(seps))] if isinstance(s, str) and s.strip(seps) else []
+                for s in pdf[text_col]
+            ]
+            # drop the ['']-from-empty artifact without a per-token filter:
+            # strip guarantees no leading/trailing '', interior impossible
+            doc_ntoks = np.fromiter(
+                (len(ts) for ts in tok_lists), dtype=np.int64, count=n_docs
+            )
+            flat_toks = [t for ts in tok_lists for t in ts]
+            n_tok = len(flat_toks)
+            top_cov = {n: np.zeros(n_docs, dtype=np.int64) for n in top_ns}
+            dup_cov = {n: np.zeros(n_docs, dtype=np.int64) for n in dup_ns}
+            char_lens = np.fromiter(
+                (len(t) for t in flat_toks), dtype=np.int64, count=n_tok
+            )
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), doc_ntoks)
+            cum = np.zeros(n_tok + 1, dtype=np.int64)
+            np.cumsum(char_lens, out=cum[1:])
+            tstarts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(doc_ntoks[:-1], out=tstarts[1:])
+            totals = cum[tstarts + doc_ntoks] - cum[tstarts]
+            if n_tok:
+                enc = [t.encode("utf-8") for t in flat_toks]
+                byte_lens = np.fromiter(
+                    (len(b) for b in enc), dtype=np.int64, count=n_tok
+                )
+                buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+                starts = np.zeros(n_tok, dtype=np.int64)
+                np.cumsum(byte_lens[:-1], out=starts[1:])
+                pos = np.arange(len(buf), dtype=np.int64) - np.repeat(starts, byte_lens)
+                max_len = int(byte_lens.max(initial=1))
+                powers = np.ones(max_len, dtype=np.uint64)
+                for i in range(1, max_len):
+                    powers[i] = powers[i - 1] * P_BYTE
+                th = np.add.reduceat(buf * powers[pos], starts) if len(buf) else np.zeros(0, np.uint64)
+                # empty-byte tokens are impossible (tokens are non-empty);
+                # mix in length so short prefixes differ
+                th = th * P_BYTE + byte_lens.astype(np.uint64)
+                g = th.copy()
+                for n in range(2, max(all_ns) + 1):
+                    if n_tok >= n:
+                        g = g[: n_tok - n + 1] * P_TOK + th[n - 1 :]
+                    else:
+                        g = g[:0]
+                    if n not in all_ns or not len(g):
+                        continue
+                    valid = doc_idx[: len(g)] == doc_idx[n - 1 :]
+                    d = doc_idx[: len(g)][valid]
+                    gv = g[valid]
+                    gchars = (cum[n:] - cum[:-n])[valid]
+                    if not len(gv):
+                        continue
+                    order = np.lexsort((gv, d))
+                    ds, gs, cs = d[order], gv[order], gchars[order]
+                    run_start = np.empty(len(gs), dtype=bool)
+                    run_start[0] = True
+                    np.not_equal(gs[1:], gs[:-1], out=run_start[1:])
+                    run_start[1:] |= ds[1:] != ds[:-1]
+                    starts_r = np.flatnonzero(run_start)
+                    cnt = np.diff(np.append(starts_r, len(gs)))
+                    cov = cnt * cs[starts_r]
+                    run_doc = ds[starts_r]
+                    # runs are doc-contiguous after the lexsort: reduce per
+                    # doc SEGMENT (ufunc.at is ~1 µs/elem — never use it)
+                    seg_start = np.empty(len(run_doc), dtype=bool)
+                    seg_start[0] = True
+                    np.not_equal(run_doc[1:], run_doc[:-1], out=seg_start[1:])
+                    seg_idx = np.flatnonzero(seg_start)
+                    seg_doc = run_doc[seg_idx]
+                    if n in top_ns:
+                        top_cov[n][seg_doc] = np.maximum.reduceat(cov, seg_idx)
+                    if n in dup_ns:
+                        dup = cov * (cnt > 1)
+                        dup_cov[n][seg_doc] = np.add.reduceat(dup, seg_idx)
+            denom = np.maximum(totals, 1).astype(np.float64)
+            out = {id_col: ids}
+            flag = np.zeros(n_docs, dtype=bool)
+            for n in top_ns:
+                fr = np.minimum(top_cov[n] / denom, 1.0)
+                out[f"top_{n}gram_char_frac"] = fr
+                flag |= fr > float(top_thresholds[n])
+            for n in dup_ns:
+                fr = np.minimum(dup_cov[n] / denom, 1.0)
+                out[f"dup_{n}gram_char_frac"] = fr
+                flag |= fr > float(dup_thresholds[n])
+            out["is_repetitive"] = flag
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, schema=schema
+    )

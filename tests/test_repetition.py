@@ -220,3 +220,44 @@ def test_line_repetition_plan_single_repartition(spark):
     # the doc-row repartition is REUSED by both branches; remaining
     # exchanges: the join-back doc side (branch aggs are co-partitioned)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_fast_path_value_identical(spark):
+    """gopher_repetition_fast must be BIT-identical to the Catalyst form
+    on adversarial inputs (empty docs, all-separator docs, unicode incl.
+    supplementary plane, planted repetition, <n-token docs)."""
+    import random
+
+    from fast_langdetect_spark.operators.repetition import (
+        gopher_repetition,
+        gopher_repetition_fast,
+    )
+
+    rng = random.Random(77)
+    vocab = ["foo", "bar", "baz", "日本", "x", "\U0001F600", "longertoken9", "a b".replace(" ", "")]
+    rows = [
+        (0, ""),
+        (1, "   \t\r\n  "),
+        (2, "one"),
+        (3, "one two"),
+        (4, ("spam ham " * 40).strip()),           # heavy 2-gram repetition
+        (5, "a b c d e f g h i j k l m n o p q r"),
+        (6, "\t lead and trail \f"),
+    ]
+    for i in range(7, 120):
+        n = rng.randrange(0, 60)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.4 and n > 6:           # plant a repeated phrase
+            phrase = toks[:5]
+            toks = toks + phrase * rng.randrange(1, 4)
+        sep = rng.choice([" ", "  ", "\t", "\n", " \f "])
+        rows.append((i, sep.join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    slow = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    fast = {r["doc_id"]: r for r in gopher_repetition_fast(df).collect()}
+    assert set(slow) == set(fast)
+    for i in slow:
+        s, f = slow[i].asDict(), fast[i].asDict()
+        assert set(s) == set(f)
+        for k, v in s.items():
+            assert f[k] == v, (i, k, v, f[k])  # exact, incl. float bits
