@@ -189,3 +189,21 @@ def test_dsir_broadcast_ratio_and_compact_shuffles(spark):
     # no Exchange partitions on the text payload — only ids/buckets move
     for chunk in plan.split("Exchange ")[1:]:
         assert "text" not in chunk.splitlines()[0]
+
+
+def test_gopher_fast_path_zero_shuffle(spark):
+    """gopher_repetition_fast is the 100 TB-minimal shape: ONE
+    mapInPandas (Arrow) stage, ZERO exchanges — gram state never leaves
+    the worker."""
+    from fast_langdetect_spark.operators.repetition import (
+        gopher_repetition_fast,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " * 5) for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = _plan(gopher_repetition_fast(docs))
+    assert plan.count("Exchange") == 0
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
