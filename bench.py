@@ -152,9 +152,9 @@ def q_quality_extras(spark, corpus_path: str):
     Gopher table-A1 signals and C4 line-level cleaning composed on ONE
     corpus scan (pure WholeStageCodegen maps, no exchange), plus the
     FineWeb filters (whose duplicate-line metric is the one aggregate in
-    the basket — compact (id, line-hash, len) rows only).  The heavy
-    gram-level repetition/span operators are profiled separately in
-    BENCH.md, not here."""
+    the basket — compact (id, line-hash, len) rows only).  Gram-level
+    repetition runs as its own headline query (repetition_500k, the
+    round-5 fast path); spans remain BENCH.md-profiled only."""
     from fast_langdetect_spark.operators.c4 import with_c4_signals
     from fast_langdetect_spark.operators.fineweb import with_fineweb_signals
     from fast_langdetect_spark.operators.gopher import with_gopher_signals
@@ -184,6 +184,26 @@ def q_quality_extras(spark, corpus_path: str):
     return {"n": row["n"], "normed": row["normed"],
             "gopher_ok": row["gopher_ok"], "c4_ok": row["c4_ok"],
             "fineweb_ok": fw["fw_ok"]}
+
+
+def q_repetition_500k(spark, corpus_path: str):
+    """Gopher n-gram repetition over 500k files via the round-5 zero-
+    shuffle NumPy fast path (gopher_repetition_fast — bit-identical to
+    the Catalyst form, ~27× faster; BENCH.md round-5 fast-path A/B)."""
+    from fast_langdetect_spark.operators.repetition import (
+        gopher_repetition_fast,
+    )
+
+    docs = spark.read.parquet(corpus_path).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    row = gopher_repetition_fast(docs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_repetitive").cast("long")).alias("repetitive"),
+        F.sum("dup_5gram_char_frac").alias("dup5_sum"),
+    ).collect()[0]
+    return {"n": row["n"], "repetitive": row["repetitive"]}
 
 
 def _total_busy_jiffies() -> int:
@@ -346,6 +366,7 @@ def main() -> None:
         ("scrub_docs", lambda: q_scrub_docs(spark, sf_dir)),
         ("curation_extras", lambda: q_curation_extras(spark, corpus_path)),
         ("quality_extras", lambda: q_quality_extras(spark, corpus_path)),
+        ("repetition_500k", lambda: q_repetition_500k(spark, corpus_path)),
     ]
     # Warm EVERY selected query once untimed (plus the python-worker
     # model/LM load + numpy heap first-touch via the small langid query):
