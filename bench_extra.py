@@ -1,0 +1,279 @@
+#!/usr/bin/env python
+"""Round-6 optimization harness: per-stage noop-sink isolation of the
+headline queries (guide §1.4).  NOT part of the driver contract — bench.py
+is the frozen measurement; this file only locates where the seconds go.
+
+Usage:
+    python bench_extra.py [slice ...]      # default: all slices
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, FLD_BENCH_CORPUS_ROWS as bench.py.
+Prints one JSON line: {"slices": {name: sec}, "cpu_sec": {...}, "canary": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import bench  # frozen harness: reuse its corpus + canary/cpu helpers  # noqa: E402
+
+
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _corpus(spark, corpus_path):
+    return spark.read.parquet(corpus_path)
+
+
+def _docs_ids(spark, corpus_path):
+    return spark.read.parquet(corpus_path).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+
+
+# ------------------------------------------------------------------ slices
+
+
+def s_scan_only(spark, corpus_path, sf_dir):
+    noop(_corpus(spark, corpus_path).select("repo", "path", "content"))
+
+
+def s_scan_ids(spark, corpus_path, sf_dir):
+    noop(_docs_ids(spark, corpus_path))
+
+
+def s_repetition_fast(spark, corpus_path, sf_dir):
+    from fast_langdetect_spark.operators.repetition import gopher_repetition_fast
+
+    noop(gopher_repetition_fast(_docs_ids(spark, corpus_path)))
+
+
+def s_pipeline_shuffle(spark, corpus_path, sf_dir):
+    """Partitioning + repartition only (no scoring)."""
+    from fast_langdetect_spark.plans.pipeline import (
+        PipelineConfig,
+        shuffle_partition_count,
+        with_partitioning,
+    )
+
+    cfg = PipelineConfig(n_buckets=64, n_salts=64, salt_mode="all")
+    df = with_partitioning(_corpus(spark, corpus_path), cfg)
+    df = df.repartition(
+        shuffle_partition_count(spark), F.col("part_bucket"), F.col("salt")
+    )
+    noop(df)
+
+
+def s_pipeline_scores(spark, corpus_path, sf_dir):
+    """Shuffle + the fused langid+ppl UDF, nothing after."""
+    from fast_langdetect_spark.operators.scoring import with_scores
+    from fast_langdetect_spark.plans.pipeline import (
+        PipelineConfig,
+        shuffle_partition_count,
+        with_partitioning,
+    )
+
+    cfg = PipelineConfig(n_buckets=64, n_salts=64, salt_mode="all")
+    df = with_partitioning(_corpus(spark, corpus_path), cfg)
+    df = df.repartition(
+        shuffle_partition_count(spark), F.col("part_bucket"), F.col("salt")
+    )
+    df = with_scores(df, "content", cfg.model_path, cfg.lm_path, doc_cap=cfg.doc_cap)
+    noop(df.select("repo", "path", "lang_top", "lang_score", "perplexity"))
+
+
+def s_pipeline_full(spark, corpus_path, sf_dir):
+    from fast_langdetect_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    cfg = PipelineConfig(n_buckets=64, n_salts=64, salt_mode="all")
+    noop(run_pipeline(_corpus(spark, corpus_path), cfg))
+
+
+def s_quality_native_500k(spark, corpus_path, sf_dir):
+    """The pipeline's native rules at 500k (no UDF, no shuffle)."""
+    from fast_langdetect_spark.operators.quality import quality_metric_columns
+
+    df = _corpus(spark, corpus_path)
+    noop(df.withColumns(quality_metric_columns("content")).drop("content"))
+
+
+def s_scrub_500k(spark, corpus_path, sf_dir):
+    from fast_langdetect_spark.operators.scrub import scrub_column
+
+    df = _corpus(spark, corpus_path)
+    noop(
+        df.select(
+            F.length(scrub_column(F.col("content"))).alias("s"),
+            F.sha2("content", 256).alias("h"),
+        )
+    )
+
+
+def s_normalize(spark, corpus_path, sf_dir):
+    from fast_langdetect_spark.operators.normalize import with_normalized_text
+
+    noop(
+        with_normalized_text(_docs_ids(spark, corpus_path), collapse_ws=True)
+        .select("doc_id", F.length("norm_text").alias("l"), "was_normalized")
+    )
+
+
+def s_gopher(spark, corpus_path, sf_dir):
+    from fast_langdetect_spark.operators.gopher import with_gopher_signals
+
+    noop(with_gopher_signals(_docs_ids(spark, corpus_path)).drop("text"))
+
+
+def s_c4(spark, corpus_path, sf_dir):
+    from fast_langdetect_spark.operators.c4 import with_c4_signals
+
+    noop(
+        with_c4_signals(_docs_ids(spark, corpus_path))
+        .select("doc_id", F.length("c4_text").alias("l"), "n_sentences",
+                "c4_doc_pass", "has_bad_words")
+    )
+
+
+def s_quality_chain(spark, corpus_path, sf_dir):
+    """normalize → gopher → c4 composed (the quality_extras main scan)."""
+    from fast_langdetect_spark.operators.c4 import with_c4_signals
+    from fast_langdetect_spark.operators.gopher import with_gopher_signals
+    from fast_langdetect_spark.operators.normalize import with_normalized_text
+
+    out = with_c4_signals(
+        with_gopher_signals(with_normalized_text(_docs_ids(spark, corpus_path), collapse_ws=True))
+    )
+    noop(out.drop("text", "norm_text", "c4_text", "_stop_norm"))
+
+
+def s_fineweb(spark, corpus_path, sf_dir):
+    from fast_langdetect_spark.operators.fineweb import with_fineweb_signals
+
+    noop(
+        with_fineweb_signals(_docs_ids(spark, corpus_path))
+        .select("doc_id", "punct_line_frac", "short_line_frac",
+                "dup_line_char_frac", "fineweb_quality_pass")
+    )
+
+
+def s_decontam(spark, corpus_path, sf_dir):
+    from fast_langdetect_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate,
+    )
+
+    docs = _corpus(spark, corpus_path).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        "content",
+    )
+    bench_df = benchmark_ngrams(
+        docs.where(F.pmod(F.col("doc_id"), F.lit(997)) == 0),
+        text_col="content", n=13,
+    )
+    noop(decontaminate(docs, bench_df, text_col="content", n=13))
+
+
+def s_mixture(spark, corpus_path, sf_dir):
+    from fast_langdetect_spark.operators.mixture import (
+        domain_mixture_weights,
+        mixture_resample,
+    )
+
+    docs = _corpus(spark, corpus_path).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        "lang",
+        F.length("content").alias("n_chars"),
+    )
+    w = domain_mixture_weights(docs, domain_col="lang", size_col="n_chars")
+    noop(mixture_resample(docs, w, domain_col="lang", id_col="doc_id"))
+
+
+def s_pack(spark, corpus_path, sf_dir):
+    from fast_langdetect_spark.operators.sampling import pack_sequences
+
+    docs = _corpus(spark, corpus_path).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        "lang",
+        F.length("content").alias("n_chars"),
+    )
+    noop(
+        pack_sequences(
+            docs, tokens_col="n_chars", part_col="lang", order_col="doc_id",
+            context_len=65536,
+        )
+    )
+
+
+SLICES = [
+    ("scan_only", s_scan_only),
+    ("scan_ids", s_scan_ids),
+    ("repetition_fast", s_repetition_fast),
+    ("pipeline_shuffle", s_pipeline_shuffle),
+    ("pipeline_scores", s_pipeline_scores),
+    ("pipeline_full", s_pipeline_full),
+    ("quality_native_500k", s_quality_native_500k),
+    ("scrub_500k", s_scrub_500k),
+    ("normalize", s_normalize),
+    ("gopher", s_gopher),
+    ("c4", s_c4),
+    ("quality_chain", s_quality_chain),
+    ("fineweb", s_fineweb),
+    ("decontam", s_decontam),
+    ("mixture", s_mixture),
+    ("pack", s_pack),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sel = set(sys.argv[1:]) or None
+    from fast_langdetect_spark.session import build_session
+
+    spark = build_session(
+        app_name="fld-bench-extra", cpus=cpus, shuffle_partitions=cpus * 8
+    )
+    corpus_path = bench._materialize_corpus(spark, bench.BENCH_CORPUS_ROWS)
+    hz = os.sysconf("SC_CLK_TCK")
+
+    repeats = int(os.environ.get("FLD_BENCH_EXTRA_REPEATS", "2"))
+    slices = [(n, f) for n, f in SLICES if sel is None or n in sel]
+    # warm every selected slice once (JIT/codegen warm-in, model loads)
+    for name, fn in slices:
+        spark.sparkContext.setJobDescription(f"warm:{name}")
+        fn(spark, corpus_path, sf_dir)
+    out: dict[str, float] = {}
+    cpu_out: dict[str, float] = {}
+    canary: dict[str, float] = {}
+    for name, fn in slices:
+        best, best_cpu = None, None
+        for _ in range(repeats):
+            bench._wait_quiet()
+            c = bench._canary_sec()
+            spark.sparkContext.setJobDescription(f"timed:{name}")
+            c0 = bench._tree_cpu_jiffies()
+            t0 = time.time()
+            fn(spark, corpus_path, sf_dir)
+            dt = time.time() - t0
+            cpu = (bench._tree_cpu_jiffies() - c0) / hz
+            if best is None or dt < best:
+                best, best_cpu, best_can = dt, cpu, c
+        out[name] = round(best, 3)
+        cpu_out[name] = round(best_cpu, 1)
+        canary[name] = best_can
+    print(json.dumps({"slices": out, "cpu_sec": cpu_out, "canary_sec": canary,
+                      "cpus": cpus}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

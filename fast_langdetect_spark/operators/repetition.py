@@ -499,6 +499,119 @@ def golden_line_repetition(
 
 # ------------------------------------------------------- Arrow fast path
 
+# rolling-hash constants (odd => invertible mod 2^64, good diffusion)
+_P_BYTE = 0x100000001B3  # byte-level poly base (FNV prime)
+_P_TOK = 0x9E3779B97F4A7C15  # token-level rolling base
+
+# ASCII separator byte lookup (the [ \t\r\n\f] class); UTF-8 continuation
+# bytes are >= 0x80 so multi-byte code points can never alias a separator
+_SEP_LUT = None
+
+
+def _sep_lut():
+    import numpy as np
+
+    global _SEP_LUT
+    if _SEP_LUT is None:
+        lut = np.zeros(256, dtype=bool)
+        lut[[0x20, 0x09, 0x0D, 0x0A, 0x0C]] = True
+        _SEP_LUT = lut
+    return _SEP_LUT
+
+
+def _poly_powers(max_len: int):
+    """[1, P, P^2, ...] mod 2^64 via array accumulate (wraparound is the
+    point — accumulate wraps silently, unlike the scalar loop it replaces
+    which emitted a RuntimeWarning per batch)."""
+    import numpy as np
+
+    a = np.full(max_len, np.uint64(_P_BYTE), dtype=np.uint64)
+    a[0] = 1
+    return np.multiply.accumulate(a)
+
+
+def _tokenize_utf8_batch(col):
+    """Vectorized tokenizer over an Arrow utf8/large_utf8 Array.
+
+    Splits every document on the repo token class ``[ \\t\\r\\n\\f]+``
+    WITHOUT materializing Python strings: separators are single ASCII bytes,
+    so token boundaries, byte lengths, code-point lengths and the per-token
+    rolling poly-hash all come from flat NumPy passes over the Arrow value
+    buffer.  Returns ``(n_docs, doc_idx, char_lens, tok_hash)`` where
+    ``doc_idx``/``char_lens``/``tok_hash`` are per-token arrays in document
+    order and ``tok_hash`` is EXACTLY the hash the previous per-token Python
+    kernel computed (poly over utf-8 bytes, then ``*P_BYTE + byte_len``).
+    Null documents tokenize as empty.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    n_docs = len(col)
+    empty = (
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.uint64),
+    )
+    if n_docs == 0:
+        return 0, *empty
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = col.buffers()
+    off0 = col.offset
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        off0 : off0 + n_docs + 1
+    ].astype(np.int64)
+    base, stop = int(offsets[0]), int(offsets[-1])
+    if stop == base or bufs[2] is None:
+        return n_docs, *empty
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[base:stop]
+    sep = _sep_lut()[data].copy()
+    if col.null_count:
+        valid_docs = col.is_valid().to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(~valid_docs):
+            sep[offsets[i] - base : offsets[i + 1] - base] = True
+    nonsep = ~sep
+    L = len(data)
+    # token start: nonsep byte whose predecessor (within the same doc) is
+    # a separator or the doc boundary; token end symmetrically
+    prev = np.empty(L, dtype=bool)
+    prev[0] = False
+    prev[1:] = nonsep[:-1]
+    doc_starts = offsets[:-1] - base
+    prev[doc_starts[doc_starts < L]] = False
+    nxt = np.empty(L, dtype=bool)
+    nxt[-1] = False
+    nxt[:-1] = nonsep[1:]
+    doc_last = offsets[1:] - base - 1
+    doc_last = doc_last[(doc_last >= 0) & (doc_last < L)]
+    nxt[doc_last] = False
+    tok_starts = np.flatnonzero(nonsep & ~prev)
+    tok_ends = np.flatnonzero(nonsep & ~nxt)
+    n_tok = len(tok_starts)
+    if n_tok == 0:
+        return n_docs, *empty
+    byte_lens = tok_ends - tok_starts + 1
+    doc_idx = np.searchsorted(offsets, tok_starts + base, side="right") - 1
+    # code points = bytes that are not UTF-8 continuation bytes
+    cont_cum = np.zeros(L + 1, dtype=np.int64)
+    np.cumsum((data & 0xC0) == 0x80, out=cont_cum[1:])
+    char_lens = byte_lens - (cont_cum[tok_ends + 1] - cont_cum[tok_starts])
+    # per-token poly hash: every nonsep byte belongs to exactly one token,
+    # so the compacted nonsep bytes ARE the concatenated token bytes
+    ns_cum = np.zeros(L + 1, dtype=np.int64)
+    np.cumsum(nonsep, out=ns_cum[1:])
+    tb = data[nonsep].astype(np.uint64)
+    cstart = ns_cum[tok_starts]
+    pos = np.arange(len(tb), dtype=np.int64) - np.repeat(cstart, byte_lens)
+    powers = _poly_powers(int(byte_lens.max(initial=1)))
+    th = np.add.reduceat(tb * powers[pos], cstart)
+    # tokens are non-empty by construction; mix in length so short
+    # prefixes differ
+    th = th * np.uint64(_P_BYTE) + byte_lens.astype(np.uint64)
+    return n_docs, doc_idx.astype(np.int64), char_lens, th
+
 
 def gopher_repetition_fast(
     df: DataFrame,
@@ -509,7 +622,7 @@ def gopher_repetition_fast(
     dup_thresholds: Mapping[int, float] = DUP_NGRAM_THRESHOLDS,
 ) -> DataFrame:
     """Value-identical fast path for :func:`gopher_repetition`: a flat-array
-    NumPy kernel behind ONE ``mapInPandas`` stage — ZERO shuffles.
+    NumPy kernel behind ONE ``mapInArrow`` stage — ZERO shuffles.
 
     The Catalyst shape pays one compact doc-row repartition plus a hash
     aggregate over ~9 gram rows per token (measured round 5: 209-238 s /
@@ -517,9 +630,13 @@ def gopher_repetition_fast(
     reduction, so the 100 TB-minimal plan is per-document map-side compute:
     tokens, rolling gram hashes, and per-(doc,n) counts via one lexsort per
     gram size over the batch's flat token arrays — C-speed, no JVM↔shuffle
-    of gram rows, one Arrow crossing.  Outputs are bit-identical to the
-    Catalyst form: every count/length is an integer and the final division
-    is the same float64 op (equality pinned by tests/test_repetition.py).
+    of gram rows, one Arrow crossing.  Round 6 removed the last Python
+    per-token work (str split / encode / list comprehensions — ~70% of the
+    kernel's cpu at 500k): tokenization now runs directly on the Arrow
+    value buffer (see :func:`_tokenize_utf8_batch`), producing the SAME
+    per-token hashes, so outputs remain bit-identical to the Catalyst form
+    (every count/length is an integer and the final division is the same
+    float64 op; equality pinned by tests/test_repetition.py).
 
     Gram keys are 64-bit rolling poly-hashes of per-token byte hashes
     (wraparound uint64); collisions only matter within one (doc, n) group
@@ -529,17 +646,13 @@ def gopher_repetition_fast(
     from typing import Iterator
 
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     top_ns = sorted(top_thresholds)
     dup_ns = sorted(dup_thresholds)
     all_ns = sorted({*top_ns, *dup_ns})
     if not all_ns or min(all_ns) < 2:
         raise ValueError("n-gram sizes must be >= 2")
-    import re as _re
-
-    token_re = _re.compile(_TOKEN_SPLIT)
-    seps = " \t\r\n\f"
     out_fields = (
         [f"top_{n}gram_char_frac" for n in top_ns]
         + [f"dup_{n}gram_char_frac" for n in dup_ns]
@@ -549,53 +662,26 @@ def gopher_repetition_fast(
         + ", ".join(f"{f} double" for f in out_fields)
         + ", is_repetitive boolean"
     )
-    # rolling-hash constants (odd => invertible mod 2^64, good diffusion)
-    P_BYTE = np.uint64(0x100000001B3)  # byte-level poly base (FNV prime)
-    P_TOK = np.uint64(0x9E3779B97F4A7C15)  # token-level rolling base
+    P_TOK = np.uint64(_P_TOK)
+    top_thr = {n: float(top_thresholds[n]) for n in top_ns}
+    dup_thr = {n: float(dup_thresholds[n]) for n in dup_ns}
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            n_docs = len(ids)
-            tok_lists = [
-                [t for t in token_re.split(s.strip(seps))] if isinstance(s, str) and s.strip(seps) else []
-                for s in pdf[text_col]
-            ]
-            # drop the ['']-from-empty artifact without a per-token filter:
-            # strip guarantees no leading/trailing '', interior impossible
-            doc_ntoks = np.fromiter(
-                (len(ts) for ts in tok_lists), dtype=np.int64, count=n_docs
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0)
+            n_docs, doc_idx, char_lens, th = _tokenize_utf8_batch(
+                batch.column(1)
             )
-            flat_toks = [t for ts in tok_lists for t in ts]
-            n_tok = len(flat_toks)
+            n_tok = len(th)
             top_cov = {n: np.zeros(n_docs, dtype=np.int64) for n in top_ns}
             dup_cov = {n: np.zeros(n_docs, dtype=np.int64) for n in dup_ns}
-            char_lens = np.fromiter(
-                (len(t) for t in flat_toks), dtype=np.int64, count=n_tok
-            )
-            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), doc_ntoks)
             cum = np.zeros(n_tok + 1, dtype=np.int64)
             np.cumsum(char_lens, out=cum[1:])
+            doc_ntoks = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
             tstarts = np.zeros(n_docs, dtype=np.int64)
             np.cumsum(doc_ntoks[:-1], out=tstarts[1:])
             totals = cum[tstarts + doc_ntoks] - cum[tstarts]
             if n_tok:
-                enc = [t.encode("utf-8") for t in flat_toks]
-                byte_lens = np.fromiter(
-                    (len(b) for b in enc), dtype=np.int64, count=n_tok
-                )
-                buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
-                starts = np.zeros(n_tok, dtype=np.int64)
-                np.cumsum(byte_lens[:-1], out=starts[1:])
-                pos = np.arange(len(buf), dtype=np.int64) - np.repeat(starts, byte_lens)
-                max_len = int(byte_lens.max(initial=1))
-                powers = np.ones(max_len, dtype=np.uint64)
-                for i in range(1, max_len):
-                    powers[i] = powers[i - 1] * P_BYTE
-                th = np.add.reduceat(buf * powers[pos], starts) if len(buf) else np.zeros(0, np.uint64)
-                # empty-byte tokens are impossible (tokens are non-empty);
-                # mix in length so short prefixes differ
-                th = th * P_BYTE + byte_lens.astype(np.uint64)
                 g = th.copy()
                 for n in range(2, max(all_ns) + 1):
                     if n_tok >= n:
@@ -633,19 +719,21 @@ def gopher_repetition_fast(
                         dup = cov * (cnt > 1)
                         dup_cov[n][seg_doc] = np.add.reduceat(dup, seg_idx)
             denom = np.maximum(totals, 1).astype(np.float64)
-            out = {id_col: ids}
+            arrays = [ids.cast(pa.int64())]
             flag = np.zeros(n_docs, dtype=bool)
             for n in top_ns:
                 fr = np.minimum(top_cov[n] / denom, 1.0)
-                out[f"top_{n}gram_char_frac"] = fr
-                flag |= fr > float(top_thresholds[n])
+                arrays.append(pa.array(fr, type=pa.float64()))
+                flag |= fr > top_thr[n]
             for n in dup_ns:
                 fr = np.minimum(dup_cov[n] / denom, 1.0)
-                out[f"dup_{n}gram_char_frac"] = fr
-                flag |= fr > float(dup_thresholds[n])
-            out["is_repetitive"] = flag
-            yield pd.DataFrame(out)
+                arrays.append(pa.array(fr, type=pa.float64()))
+                flag |= fr > dup_thr[n]
+            arrays.append(pa.array(flag))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[id_col, *out_fields, "is_repetitive"]
+            )
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
         kernel, schema=schema
     )

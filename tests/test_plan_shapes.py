@@ -193,8 +193,9 @@ def test_dsir_broadcast_ratio_and_compact_shuffles(spark):
 
 def test_gopher_fast_path_zero_shuffle(spark):
     """gopher_repetition_fast is the 100 TB-minimal shape: ONE
-    mapInPandas (Arrow) stage, ZERO exchanges — gram state never leaves
-    the worker."""
+    mapInArrow stage, ZERO exchanges — gram state never leaves
+    the worker (round 6: mapInPandas → mapInArrow, no pandas
+    materialization of the text column)."""
     from fast_langdetect_spark.operators.repetition import (
         gopher_repetition_fast,
     )
@@ -205,5 +206,5 @@ def test_gopher_fast_path_zero_shuffle(spark):
     )
     plan = _plan(gopher_repetition_fast(docs))
     assert plan.count("Exchange") == 0
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     assert "BatchEvalPython" not in plan

@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Round-6 interleaved A/B: old (mapInPandas, per-token Python) vs new
+(mapInArrow, buffer-vectorized) gopher_repetition_fast kernels.
+
+Both variants run alternately in ONE session over the same 500k bench
+corpus with a noop sink, so co-tenant pollution hits both alike and the
+RATIO is trustworthy even when absolute walls are not (the round-5
+gram_bench_ab.py protocol).  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+from typing import Iterator, Mapping
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+import bench  # noqa: E402
+from fast_langdetect_spark.operators.repetition import (  # noqa: E402
+    DUP_NGRAM_THRESHOLDS,
+    TOP_NGRAM_THRESHOLDS,
+    _TOKEN_SPLIT,
+    gopher_repetition_fast,
+)
+
+
+def old_gopher_repetition_fast(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_thresholds: Mapping[int, float] = TOP_NGRAM_THRESHOLDS,
+    dup_thresholds: Mapping[int, float] = DUP_NGRAM_THRESHOLDS,
+) -> DataFrame:
+    """Verbatim round-5 kernel (git 484c666) for the A side."""
+    import re as _re
+
+    top_ns = sorted(top_thresholds)
+    dup_ns = sorted(dup_thresholds)
+    all_ns = sorted({*top_ns, *dup_ns})
+    token_re = _re.compile(_TOKEN_SPLIT)
+    seps = " \t\r\n\f"
+    out_fields = (
+        [f"top_{n}gram_char_frac" for n in top_ns]
+        + [f"dup_{n}gram_char_frac" for n in dup_ns]
+    )
+    schema = (
+        f"{id_col} long, "
+        + ", ".join(f"{f} double" for f in out_fields)
+        + ", is_repetitive boolean"
+    )
+    P_BYTE = np.uint64(0x100000001B3)
+    P_TOK = np.uint64(0x9E3779B97F4A7C15)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            n_docs = len(ids)
+            tok_lists = [
+                [t for t in token_re.split(s.strip(seps))] if isinstance(s, str) and s.strip(seps) else []
+                for s in pdf[text_col]
+            ]
+            doc_ntoks = np.fromiter(
+                (len(ts) for ts in tok_lists), dtype=np.int64, count=n_docs
+            )
+            flat_toks = [t for ts in tok_lists for t in ts]
+            n_tok = len(flat_toks)
+            top_cov = {n: np.zeros(n_docs, dtype=np.int64) for n in top_ns}
+            dup_cov = {n: np.zeros(n_docs, dtype=np.int64) for n in dup_ns}
+            char_lens = np.fromiter(
+                (len(t) for t in flat_toks), dtype=np.int64, count=n_tok
+            )
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), doc_ntoks)
+            cum = np.zeros(n_tok + 1, dtype=np.int64)
+            np.cumsum(char_lens, out=cum[1:])
+            tstarts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(doc_ntoks[:-1], out=tstarts[1:])
+            totals = cum[tstarts + doc_ntoks] - cum[tstarts]
+            if n_tok:
+                enc = [t.encode("utf-8") for t in flat_toks]
+                byte_lens = np.fromiter(
+                    (len(b) for b in enc), dtype=np.int64, count=n_tok
+                )
+                buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+                starts = np.zeros(n_tok, dtype=np.int64)
+                np.cumsum(byte_lens[:-1], out=starts[1:])
+                pos = np.arange(len(buf), dtype=np.int64) - np.repeat(starts, byte_lens)
+                max_len = int(byte_lens.max(initial=1))
+                powers = np.ones(max_len, dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    for i in range(1, max_len):
+                        powers[i] = powers[i - 1] * P_BYTE
+                th = np.add.reduceat(buf * powers[pos], starts) if len(buf) else np.zeros(0, np.uint64)
+                th = th * P_BYTE + byte_lens.astype(np.uint64)
+                g = th.copy()
+                for n in range(2, max(all_ns) + 1):
+                    if n_tok >= n:
+                        g = g[: n_tok - n + 1] * P_TOK + th[n - 1 :]
+                    else:
+                        g = g[:0]
+                    if n not in all_ns or not len(g):
+                        continue
+                    valid = doc_idx[: len(g)] == doc_idx[n - 1 :]
+                    d = doc_idx[: len(g)][valid]
+                    gv = g[valid]
+                    gchars = (cum[n:] - cum[:-n])[valid]
+                    if not len(gv):
+                        continue
+                    order = np.lexsort((gv, d))
+                    ds, gs, cs = d[order], gv[order], gchars[order]
+                    run_start = np.empty(len(gs), dtype=bool)
+                    run_start[0] = True
+                    np.not_equal(gs[1:], gs[:-1], out=run_start[1:])
+                    run_start[1:] |= ds[1:] != ds[:-1]
+                    starts_r = np.flatnonzero(run_start)
+                    cnt = np.diff(np.append(starts_r, len(gs)))
+                    cov = cnt * cs[starts_r]
+                    run_doc = ds[starts_r]
+                    seg_start = np.empty(len(run_doc), dtype=bool)
+                    seg_start[0] = True
+                    np.not_equal(run_doc[1:], run_doc[:-1], out=seg_start[1:])
+                    seg_idx = np.flatnonzero(seg_start)
+                    seg_doc = run_doc[seg_idx]
+                    if n in top_ns:
+                        top_cov[n][seg_doc] = np.maximum.reduceat(cov, seg_idx)
+                    if n in dup_ns:
+                        dup = cov * (cnt > 1)
+                        dup_cov[n][seg_doc] = np.add.reduceat(dup, seg_idx)
+            denom = np.maximum(totals, 1).astype(np.float64)
+            out = {id_col: ids}
+            flag = np.zeros(n_docs, dtype=bool)
+            for n in top_ns:
+                fr = np.minimum(top_cov[n] / denom, 1.0)
+                out[f"top_{n}gram_char_frac"] = fr
+                flag |= fr > float(top_thresholds[n])
+            for n in dup_ns:
+                fr = np.minimum(dup_cov[n] / denom, 1.0)
+                out[f"dup_{n}gram_char_frac"] = fr
+                flag |= fr > float(dup_thresholds[n])
+            out["is_repetitive"] = flag
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("FLD_AB_REPS", "4"))
+    from fast_langdetect_spark.session import build_session
+
+    spark = build_session(app_name="rep-ab-r06", cpus=cpus,
+                          shuffle_partitions=cpus * 8)
+    corpus_path = bench._materialize_corpus(spark, bench.BENCH_CORPUS_ROWS)
+    docs = spark.read.parquet(corpus_path).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    hz = os.sysconf("SC_CLK_TCK")
+
+    def run(fn, label):
+        spark.sparkContext.setJobDescription(label)
+        c0 = bench._tree_cpu_jiffies()
+        t0 = time.time()
+        fn(docs).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3), round((bench._tree_cpu_jiffies() - c0) / hz, 1)
+
+    # warm both once
+    run(old_gopher_repetition_fast, "warm:old")
+    run(gopher_repetition_fast, "warm:new")
+    out = {"old": [], "new": [], "old_cpu": [], "new_cpu": [], "ext": []}
+    for _ in range(reps):
+        w, c = run(old_gopher_repetition_fast, "timed:old")
+        out["old"].append(w)
+        out["old_cpu"].append(c)
+        w, c = run(gopher_repetition_fast, "timed:new")
+        out["new"].append(w)
+        out["new_cpu"].append(c)
+        out["ext"].append(bench._external_busy_cores())
+    out["ratio_best"] = round(min(out["new"]) / min(out["old"]), 3)
+    out["cpu_ratio_best"] = round(min(out["new_cpu"]) / min(out["old_cpu"]), 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
