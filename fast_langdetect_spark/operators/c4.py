@@ -47,8 +47,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .quality import RE_TOXIC
-from .regex_compat import java_ascii_boundaries
+from .quality import RE_TOXIC, toxicity_expr
 
 # terminal punctuation accepted by C4: period, !, ?, closing quotes
 TERMINAL_PUNCT = '.!?"”'
@@ -76,9 +75,14 @@ def _keep_line_body(min_words: int) -> str:
 def c4_clean_expr(text_col: str = "text", min_words: int = DEFAULT_MIN_WORDS) -> Column:
     """Cleaned text: javascript lines, then non-qualifying lines, deleted."""
     c = F.col(text_col)
-    no_js = F.regexp_replace(
-        c, "(?dm)^.*(?i:%s).*$\n?" % BANNED_LINE_TERM, ""
-    )
+    # round 6: sound guard — the js line-deletion pass only runs on docs
+    # that contain the word at all (cheap early-exit rlike scan vs a full
+    # regexp_replace string rebuild on every doc; same trick as scrub.py's
+    # guards, value identical because the replace is a no-op otherwise)
+    no_js = F.when(
+        c.rlike("(?i)%s" % BANNED_LINE_TERM),
+        F.regexp_replace(c, "(?dm)^.*(?i:%s).*$\n?" % BANNED_LINE_TERM, ""),
+    ).otherwise(c)
     # Java-only negative lookahead of the keep predicate (Spark-side form)
     drop = "(?dm)^(?!%s$).*$\n?" % _keep_line_body(min_words)
     cleaned = F.regexp_replace(no_js, drop, "")
@@ -115,7 +119,10 @@ def with_c4_signals(
         ),
         "has_lorem_ipsum": F.lower(c).contains("lorem ipsum"),
         "has_curly_brace": c.contains("{"),
-        "has_bad_words": c.rlike(java_ascii_boundaries(RE_TOXIC)),
+        # round 6: guarded contains-probe form (quality.toxicity_expr, value
+        # identical); the F.lower(c) subtree is shared with has_lorem_ipsum
+        # via codegen CSE
+        "has_bad_words": toxicity_expr(c, F.lower(c)),
     }
     out = staged.withColumns(signals)
     doc_pass = (

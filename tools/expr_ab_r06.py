@@ -1,0 +1,356 @@
+#!/usr/bin/env python
+"""Round-6 interleaved expression A/B: round-start vs round-6 Catalyst forms
+for quality / gopher / c4 / normalize, alternated in ONE session over the
+500k bench corpus with a noop sink so co-tenant pollution hits both sides
+alike.  Usage: python tools/expr_ab_r06.py [quality gopher c4 normalize]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import bench  # noqa: E402
+
+
+def docs_df(spark, corpus_path):
+    return spark.read.parquet(corpus_path).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+
+
+# ----------------------------------------------------- old (HEAD~) variants
+
+def quality_old(df):
+    from fast_langdetect_spark.operators.quality import (
+        RE_ALNUM_STRIP, RE_GENERATED, RE_HAS_ALPHA, RE_TOXIC,
+    )
+    from fast_langdetect_spark.operators.regex_compat import (
+        java_ascii_boundaries,
+    )
+
+    c = F.col("text")
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    line_lens = F.transform(lines, lambda x: F.length(x))
+    tokens = F.filter(F.split(c, "[ \t\r\n\f]+"), lambda x: x != F.lit(""))
+    n_tokens = F.size(tokens)
+    n_alpha_tokens = F.size(F.filter(tokens, lambda x: x.rlike(RE_HAS_ALPHA)))
+    cols = {
+        "n_chars": F.length(c),
+        "n_lines": n_lines,
+        "max_line_len": F.array_max(line_lens),
+        "mean_line_len": (F.length(c) - n_lines + 1) / n_lines.cast("double"),
+        "alnum_ratio": F.length(F.regexp_replace(c, RE_ALNUM_STRIP, ""))
+        / F.greatest(F.length(c), F.lit(1)).cast("double"),
+        "alpha_token_frac": n_alpha_tokens
+        / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        "distinct_line_ratio": F.size(F.array_distinct(lines))
+        / F.greatest(n_lines, F.lit(1)).cast("double"),
+        "is_generated": c.rlike(RE_GENERATED),
+        "has_toxicity": c.rlike(java_ascii_boundaries(RE_TOXIC)),
+    }
+    return df.withColumns(cols).drop("text")
+
+
+def quality_new(df):
+    from fast_langdetect_spark.operators.quality import quality_metric_columns
+
+    return df.withColumns(quality_metric_columns("text")).drop("text")
+
+
+def gopher_old(df):
+    """Round-start counters (word_chars/_n_lines via rebuild + split)."""
+    from fast_langdetect_spark.operators import gopher as G
+
+    c = F.col("text")
+    counters = {
+        "n_words": F.regexp_count(c, F.lit(G.RE_WORD)),
+        "_word_chars": F.length(F.regexp_replace(c, "[ \t\r\n\f]", "")),
+        "_n_lines": F.size(F.split(c, "\n")),
+        "_n_symbols": F.regexp_count(c, F.lit(G.RE_SYMBOL)),
+        "_n_bullets": F.regexp_count(c, F.lit(G._java(G.RE_BULLET_LINE))),
+        "_n_ellipsis": F.regexp_count(c, F.lit(G._java(G.RE_ELLIPSIS_LINE))),
+        "_stop_norm": F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.lower(c), G.RE_STOPWORD_SPLIT_JAVA, " "),
+            F.lit(" "),
+        ),
+    }
+    words_d = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    lines_d = F.col("_n_lines").cast("double")
+    hits = F.lit(0)
+    for w in G.REQUIRED_STOPWORDS:
+        hits = hits + F.col("_stop_norm").contains(f" {w} ").cast("int")
+    derived = {
+        "mean_word_len": F.col("_word_chars") / words_d,
+        "symbol_word_ratio": F.col("_n_symbols") / words_d,
+        "bullet_line_frac": F.col("_n_bullets") / lines_d,
+        "ellipsis_line_frac": F.col("_n_ellipsis") / lines_d,
+        "stopword_hits": hits,
+    }
+    out = df.withColumns(counters).withColumns(derived)
+    bound_cols = {k: F.col(k) for k in G.GOPHER_BOUNDS}
+    return out.withColumn("gopher_quality_pass", G._pass_expr(bound_cols)).drop(
+        "_word_chars", "_n_lines", "_n_symbols", "_n_bullets", "_n_ellipsis",
+        "_stop_norm", "text",
+    )
+
+
+def gopher_new(df):
+    from fast_langdetect_spark.operators.gopher import with_gopher_signals
+
+    return with_gopher_signals(df).drop("text")
+
+
+def c4_old(df):
+    from fast_langdetect_spark.operators import c4 as C
+    from fast_langdetect_spark.operators.quality import RE_TOXIC
+    from fast_langdetect_spark.operators.regex_compat import (
+        java_ascii_boundaries,
+    )
+
+    c = F.col("text")
+    no_js = F.regexp_replace(
+        c, "(?dm)^.*(?i:%s).*$\n?" % C.BANNED_LINE_TERM, ""
+    )
+    drop = "(?dm)^(?!%s$).*$\n?" % C._keep_line_body(C.DEFAULT_MIN_WORDS)
+    cleaned_expr = F.regexp_replace(
+        F.regexp_replace(no_js, drop, ""), "\n$", ""
+    )
+    staged = df.withColumn("c4_text", cleaned_expr)
+    cleaned = F.col("c4_text")
+    signals = {
+        "n_lines_total": F.size(F.split(c, "\n")),
+        "n_lines_kept": F.when(cleaned == "", 0).otherwise(
+            F.size(F.split(cleaned, "\n"))
+        ),
+        "n_sentences": F.regexp_count(cleaned, F.lit("%s+" % C._PUNCT_CLS)),
+        "removed_char_frac": (
+            (F.length(c) - F.length(cleaned))
+            / F.greatest(F.length(c), F.lit(1)).cast("double")
+        ),
+        "has_lorem_ipsum": F.lower(c).contains("lorem ipsum"),
+        "has_curly_brace": c.contains("{"),
+        "has_bad_words": c.rlike(java_ascii_boundaries(RE_TOXIC)),
+    }
+    out = staged.withColumns(signals)
+    doc_pass = (
+        (F.col("n_sentences") >= C.DEFAULT_MIN_SENTENCES)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_bad_words")
+    )
+    return out.withColumn("c4_doc_pass", doc_pass).select(
+        "doc_id", F.length("c4_text").alias("l"), "n_sentences",
+        "c4_doc_pass", "has_bad_words",
+    )
+
+
+def c4_new(df):
+    from fast_langdetect_spark.operators.c4 import with_c4_signals
+
+    return with_c4_signals(df).select(
+        "doc_id", F.length("c4_text").alias("l"), "n_sentences",
+        "c4_doc_pass", "has_bad_words",
+    )
+
+
+def normalize_old(df):
+    from fast_langdetect_spark.operators import normalize as N
+
+    col = F.col("text")
+    norm = F.regexp_replace(
+        F.translate(
+            F.replace(col, F.lit(N.ELLIPSIS), F.lit("...")),
+            N.FOLD_SRC, N.FOLD_DST,
+        ),
+        N.CONTROL_RE, "",
+    )
+    norm = F.regexp_replace(norm, N.COLLAPSE_RE, " ")
+    out = df.withColumns(
+        {"norm_text": norm, "was_normalized": norm != col}
+    )
+    return out.select("doc_id", F.length("norm_text").alias("l"), "was_normalized")
+
+
+def normalize_new(df):
+    from fast_langdetect_spark.operators.normalize import with_normalized_text
+
+    return with_normalized_text(df, collapse_ws=True).select(
+        "doc_id", F.length("norm_text").alias("l"), "was_normalized"
+    )
+
+
+def _c4_variant(guard_js: bool, count_lines: bool, rlike_lorem: bool):
+    """Component-isolating c4 variants (round-6 ablation)."""
+    from fast_langdetect_spark.operators import c4 as C
+    from fast_langdetect_spark.operators.quality import RE_TOXIC
+    from fast_langdetect_spark.operators.regex_compat import (
+        java_ascii_boundaries,
+    )
+
+    def fn(df):
+        c = F.col("text")
+        raw_js = F.regexp_replace(
+            c, "(?dm)^.*(?i:%s).*$\n?" % C.BANNED_LINE_TERM, ""
+        )
+        no_js = (
+            F.when(c.rlike("(?i)%s" % C.BANNED_LINE_TERM), raw_js).otherwise(c)
+            if guard_js
+            else raw_js
+        )
+        drop = "(?dm)^(?!%s$).*$\n?" % C._keep_line_body(C.DEFAULT_MIN_WORDS)
+        cleaned_expr = F.regexp_replace(
+            F.regexp_replace(no_js, drop, ""), "\n$", ""
+        )
+        staged = df.withColumn("c4_text", cleaned_expr)
+        cleaned = F.col("c4_text")
+        if count_lines:
+            n_total = F.regexp_count(c, F.lit("\n")) + F.lit(1)
+            n_kept = F.when(cleaned == "", 0).otherwise(
+                F.regexp_count(cleaned, F.lit("\n")) + F.lit(1)
+            )
+        else:
+            n_total = F.size(F.split(c, "\n"))
+            n_kept = F.when(cleaned == "", 0).otherwise(
+                F.size(F.split(cleaned, "\n"))
+            )
+        lorem = (
+            c.rlike("(?i)lorem ipsum")
+            if rlike_lorem
+            else F.lower(c).contains("lorem ipsum")
+        )
+        signals = {
+            "n_lines_total": n_total,
+            "n_lines_kept": n_kept,
+            "n_sentences": F.regexp_count(cleaned, F.lit("%s+" % C._PUNCT_CLS)),
+            "removed_char_frac": (
+                (F.length(c) - F.length(cleaned))
+                / F.greatest(F.length(c), F.lit(1)).cast("double")
+            ),
+            "has_lorem_ipsum": lorem,
+            "has_curly_brace": c.contains("{"),
+            "has_bad_words": c.rlike(java_ascii_boundaries(RE_TOXIC)),
+        }
+        out = staged.withColumns(signals)
+        doc_pass = (
+            (F.col("n_sentences") >= C.DEFAULT_MIN_SENTENCES)
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_bad_words")
+        )
+        return out.withColumn("c4_doc_pass", doc_pass).select(
+            "doc_id", F.length("c4_text").alias("l"), "n_lines_total",
+            "n_lines_kept", "n_sentences", "c4_doc_pass", "has_bad_words",
+            "has_lorem_ipsum",
+        )
+
+    return fn
+
+
+def _quality_subset(drop: set):
+    """Cost ablation: the round-start metric set MINUS the named columns
+    (cost attribution only — outputs differ, never shipped)."""
+    from fast_langdetect_spark.operators.quality import (
+        RE_ALNUM_STRIP, RE_GENERATED, RE_HAS_ALPHA, RE_TOXIC,
+    )
+    from fast_langdetect_spark.operators.regex_compat import (
+        java_ascii_boundaries,
+    )
+
+    def fn(df):
+        c = F.col("text")
+        lines = F.split(c, "\n")
+        n_lines = F.size(lines)
+        cols = {"n_chars": F.length(c), "n_lines": n_lines}
+        if "maxline" not in drop:
+            cols["max_line_len"] = F.array_max(
+                F.transform(lines, lambda x: F.length(x))
+            )
+        cols["mean_line_len"] = (F.length(c) - n_lines + 1) / n_lines.cast("double")
+        if "alnum" not in drop:
+            cols["alnum_ratio"] = F.length(
+                F.regexp_replace(c, RE_ALNUM_STRIP, "")
+            ) / F.greatest(F.length(c), F.lit(1)).cast("double")
+        if "alpha" not in drop:
+            tokens = F.filter(F.split(c, "[ \t\r\n\f]+"), lambda x: x != F.lit(""))
+            cols["alpha_token_frac"] = F.size(
+                F.filter(tokens, lambda x: x.rlike(RE_HAS_ALPHA))
+            ) / F.greatest(F.size(tokens), F.lit(1)).cast("double")
+        if "distinct" not in drop:
+            cols["distinct_line_ratio"] = F.size(F.array_distinct(lines)) / F.greatest(
+                n_lines, F.lit(1)
+            ).cast("double")
+        if "rlikes" not in drop:
+            cols["is_generated"] = c.rlike(RE_GENERATED)
+            cols["has_toxicity"] = c.rlike(java_ascii_boundaries(RE_TOXIC))
+        return df.withColumns(cols).drop("text")
+
+    return fn
+
+
+PAIRS = {
+    "quality": (quality_old, quality_new),
+    "q_alpha": (_quality_subset(set()), _quality_subset({"alpha"})),
+    "q_alnum": (_quality_subset(set()), _quality_subset({"alnum"})),
+    "q_arrays": (_quality_subset(set()), _quality_subset({"maxline", "distinct"})),
+    "q_rlikes": (_quality_subset(set()), _quality_subset({"rlikes"})),
+    "gopher": (gopher_old, gopher_new),
+    "c4": (c4_old, c4_new),
+    "normalize": (normalize_old, normalize_new),
+    # ablations: old vs one component at a time
+    "c4guard": (_c4_variant(False, False, False), _c4_variant(True, False, False)),
+    "c4lines": (_c4_variant(False, False, False), _c4_variant(False, True, False)),
+    "c4lorem": (_c4_variant(False, False, False), _c4_variant(False, False, True)),
+}
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("FLD_AB_REPS", "3"))
+    names = sys.argv[1:] or list(PAIRS)
+    from fast_langdetect_spark.session import build_session
+
+    spark = build_session(app_name="expr-ab-r06", cpus=cpus,
+                          shuffle_partitions=cpus * 8)
+    corpus_path = bench._materialize_corpus(spark, bench.BENCH_CORPUS_ROWS)
+    docs = docs_df(spark, corpus_path)
+    hz = os.sysconf("SC_CLK_TCK")
+
+    def run(fn, label):
+        spark.sparkContext.setJobDescription(label)
+        c0 = bench._tree_cpu_jiffies()
+        t0 = time.time()
+        fn(docs).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3), round((bench._tree_cpu_jiffies() - c0) / hz, 1)
+
+    results = {}
+    for name in names:
+        old_fn, new_fn = PAIRS[name]
+        run(old_fn, f"warm:{name}:old")
+        run(new_fn, f"warm:{name}:new")
+        r = {"old": [], "new": [], "old_cpu": [], "new_cpu": []}
+        for _ in range(reps):
+            w, cp = run(old_fn, f"timed:{name}:old")
+            r["old"].append(w)
+            r["old_cpu"].append(cp)
+            w, cp = run(new_fn, f"timed:{name}:new")
+            r["new"].append(w)
+            r["new_cpu"].append(cp)
+        r["wall_ratio"] = round(min(r["new"]) / min(r["old"]), 3)
+        r["cpu_ratio"] = round(min(r["new_cpu"]) / min(r["old_cpu"]), 3)
+        results[name] = r
+        print(name, json.dumps(r), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
