@@ -106,13 +106,28 @@ SCRUB_RULES: List[Tuple[str, str, str, str]] = [
 # Codegen dedupes unconditional subtrees but not conditional branches
 # (memory/catalyst-cse-pitfalls), so scrub_column falls back to the plain
 # unguarded chain (linear tree) beyond _MAX_GUARDED_RULES rules.
+def _contains_any(c, literals):
+    """OR of byte-search contains probes — Java's (?i)/class alternation
+    regex scan measured ~10x slower than UTF8String contains (round-6
+    quality-metrics ablation), so multi-literal guards probe instead."""
+    out = c.contains(literals[0])
+    for lit in literals[1:]:
+        out = out | c.contains(lit)
+    return out
+
+
 _SCRUB_GUARDS = {
     "email": lambda c: c.contains("@"),
     "ipv4": lambda c: c.rlike("[0-9]\\.[0-9]"),
     "aws_key": lambda c: c.contains("AKIA"),
-    # (?i) keeps the guard sound for any case mix the rule itself accepts
-    "secret_assign": lambda c: c.rlike("(?i)(api|secret|token|passwd|password)"),
-    "github_token": lambda c: c.rlike("gh[pousr]_"),
+    # lower() keeps the guard sound for any case mix the rule itself
+    # accepts ((?i) folds ASCII only, so lowercased-contains is a superset)
+    "secret_assign": lambda c: _contains_any(
+        F.lower(c), ("api", "secret", "token", "passwd", "password")
+    ),
+    "github_token": lambda c: _contains_any(
+        c, ("ghp_", "gho_", "ghu_", "ghs_", "ghr_")
+    ),
     "slack_token": lambda c: c.contains("xox"),
     # replacement is "<PRIVATE_KEY>" (underscore), so it can never re-fire
     # this space-separated guard on a later rule's input

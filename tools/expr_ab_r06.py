@@ -297,7 +297,42 @@ def _quality_subset(drop: set):
     return fn
 
 
+def scrub_old(df):
+    from fast_langdetect_spark.operators.regex_compat import (
+        java_ascii_boundaries,
+    )
+    from fast_langdetect_spark.operators.scrub import SCRUB_RULES
+
+    old_guards = {
+        "email": lambda c: c.contains("@"),
+        "ipv4": lambda c: c.rlike("[0-9]\\.[0-9]"),
+        "aws_key": lambda c: c.contains("AKIA"),
+        "secret_assign": lambda c: c.rlike(
+            "(?i)(api|secret|token|passwd|password)"
+        ),
+        "github_token": lambda c: c.rlike("gh[pousr]_"),
+        "slack_token": lambda c: c.contains("xox"),
+        "private_key_block": lambda c: c.contains("PRIVATE KEY"),
+        "jwt": lambda c: c.contains("eyJ"),
+    }
+    col = F.col("text")
+    out = col
+    for name, pattern, repl, _ in SCRUB_RULES:
+        out = F.when(
+            old_guards[name](col),
+            F.regexp_replace(out, java_ascii_boundaries(pattern), repl),
+        ).otherwise(out)
+    return df.select("doc_id", F.length(out).alias("s"))
+
+
+def scrub_new(df):
+    from fast_langdetect_spark.operators.scrub import scrub_column
+
+    return df.select("doc_id", F.length(scrub_column(F.col("text"))).alias("s"))
+
+
 PAIRS = {
+    "scrub": (scrub_old, scrub_new),
     "quality": (quality_old, quality_new),
     "q_alpha": (_quality_subset(set()), _quality_subset({"alpha"})),
     "q_alnum": (_quality_subset(set()), _quality_subset({"alnum"})),
