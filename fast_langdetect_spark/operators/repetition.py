@@ -519,6 +519,28 @@ def _sep_lut():
     return _SEP_LUT
 
 
+# Per-worker scratch pool for the kernel's large per-batch arrays (the
+# perplexity.py CHUNK_BYTES lesson: churning O(batch-bytes) fresh uint64
+# temporaries through malloc + first-touch page faults is what makes
+# multi-worker cpu swing on this host — reused buffers keep the hot loop
+# allocation-free).  Python workers are single-threaded and long-lived
+# (spark.python.worker.reuse), so a module-level dict is safe and survives
+# across tasks.
+_SCRATCH: dict = {}
+
+
+def _buf(name: str, n: int, dtype):
+    import numpy as np
+
+    a = _SCRATCH.get(name)
+    if a is None or len(a) < n:
+        a = np.empty(int(n * 5 // 4) + 16, dtype=dtype)
+        if name == "arange":
+            a[:] = np.arange(len(a), dtype=dtype)
+        _SCRATCH[name] = a
+    return a[:n]
+
+
 def _poly_powers(max_len: int):
     """[1, P, P^2, ...] mod 2^64 via array accumulate (wraparound is the
     point — accumulate wraps silently, unlike the scalar loop it replaces
@@ -567,46 +589,68 @@ def _tokenize_utf8_batch(col):
     if stop == base or bufs[2] is None:
         return n_docs, *empty
     data = np.frombuffer(bufs[2], dtype=np.uint8)[base:stop]
-    sep = _sep_lut()[data].copy()
+    L = len(data)
+    # scratch-backed big temporaries (see _SCRATCH): every L-sized or
+    # token-bytes-sized array below is reused across batches/tasks
+    sep = _buf("sep", L, bool)
+    np.take(_sep_lut(), data, out=sep)
     if col.null_count:
         valid_docs = col.is_valid().to_numpy(zero_copy_only=False)
         for i in np.flatnonzero(~valid_docs):
             sep[offsets[i] - base : offsets[i + 1] - base] = True
-    nonsep = ~sep
-    L = len(data)
+    nonsep = _buf("nonsep", L, bool)
+    np.logical_not(sep, out=nonsep)
     # token start: nonsep byte whose predecessor (within the same doc) is
     # a separator or the doc boundary; token end symmetrically
-    prev = np.empty(L, dtype=bool)
+    prev = _buf("prev", L, bool)
     prev[0] = False
     prev[1:] = nonsep[:-1]
     doc_starts = offsets[:-1] - base
     prev[doc_starts[doc_starts < L]] = False
-    nxt = np.empty(L, dtype=bool)
+    nxt = _buf("nxt", L, bool)
     nxt[-1] = False
     nxt[:-1] = nonsep[1:]
     doc_last = offsets[1:] - base - 1
     doc_last = doc_last[(doc_last >= 0) & (doc_last < L)]
     nxt[doc_last] = False
-    tok_starts = np.flatnonzero(nonsep & ~prev)
-    tok_ends = np.flatnonzero(nonsep & ~nxt)
+    # reuse prev/nxt in place for the boundary masks
+    np.logical_not(prev, out=prev)
+    prev &= nonsep
+    tok_starts = np.flatnonzero(prev)
+    np.logical_not(nxt, out=nxt)
+    nxt &= nonsep
+    tok_ends = np.flatnonzero(nxt)
     n_tok = len(tok_starts)
     if n_tok == 0:
         return n_docs, *empty
     byte_lens = tok_ends - tok_starts + 1
     doc_idx = np.searchsorted(offsets, tok_starts + base, side="right") - 1
     # code points = bytes that are not UTF-8 continuation bytes
-    cont_cum = np.zeros(L + 1, dtype=np.int64)
+    cont_cum = _buf("cum1", L + 1, np.int64)
+    cont_cum[0] = 0
     np.cumsum((data & 0xC0) == 0x80, out=cont_cum[1:])
     char_lens = byte_lens - (cont_cum[tok_ends + 1] - cont_cum[tok_starts])
     # per-token poly hash: every nonsep byte belongs to exactly one token,
     # so the compacted nonsep bytes ARE the concatenated token bytes
-    ns_cum = np.zeros(L + 1, dtype=np.int64)
+    ns_cum = _buf("cum2", L + 1, np.int64)
+    ns_cum[0] = 0
     np.cumsum(nonsep, out=ns_cum[1:])
-    tb = data[nonsep].astype(np.uint64)
+    nbytes = int(ns_cum[-1])
+    idx = np.flatnonzero(nonsep)
+    tb8 = _buf("tb8", nbytes, np.uint8)
+    np.take(data, idx, out=tb8)
+    tb = _buf("tb64", nbytes, np.uint64)
+    np.copyto(tb, tb8)
     cstart = ns_cum[tok_starts]
-    pos = np.arange(len(tb), dtype=np.int64) - np.repeat(cstart, byte_lens)
+    pos = _buf("pos", nbytes, np.int64)
+    np.subtract(
+        _buf("arange", nbytes, np.int64), np.repeat(cstart, byte_lens), out=pos
+    )
     powers = _poly_powers(int(byte_lens.max(initial=1)))
-    th = np.add.reduceat(tb * powers[pos], cstart)
+    prod = _buf("prod", nbytes, np.uint64)
+    np.take(powers, pos, out=prod)
+    np.multiply(tb, prod, out=prod)
+    th = np.add.reduceat(prod, cstart)
     # tokens are non-empty by construction; mix in length so short
     # prefixes differ
     th = th * np.uint64(_P_BYTE) + byte_lens.astype(np.uint64)
@@ -666,6 +710,17 @@ def gopher_repetition_fast(
     top_thr = {n: float(top_thresholds[n]) for n in top_ns}
     dup_thr = {n: float(dup_thresholds[n]) for n in dup_ns}
 
+    top_set, dup_set = set(top_ns), set(dup_ns)
+
+    def _doc_segments(d_sorted):
+        """(seg_idx, seg_doc) for a doc-contiguous nondecreasing array —
+        reduce per doc SEGMENT with reduceat (ufunc.at is ~1 µs/elem)."""
+        seg_start = np.empty(len(d_sorted), dtype=bool)
+        seg_start[0] = True
+        np.not_equal(d_sorted[1:], d_sorted[:-1], out=seg_start[1:])
+        seg_idx = np.flatnonzero(seg_start)
+        return seg_idx, d_sorted[seg_idx]
+
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column(0)
@@ -681,43 +736,76 @@ def gopher_repetition_fast(
             tstarts = np.zeros(n_docs, dtype=np.int64)
             np.cumsum(doc_ntoks[:-1], out=tstarts[1:])
             totals = cum[tstarts + doc_ntoks] - cum[tstarts]
+            # A-priori pruning (downward closure): an n-gram occurring >= 2
+            # times forces BOTH its (n-1)-subgrams to occur >= 2 times, so
+            # only positions whose two (n-1)-grams are duplicated can hold a
+            # duplicated n-gram.  Counting each level over candidates only
+            # yields the SAME counts (every occurrence of a duplicated gram
+            # is a candidate); top_ns additionally take a sort-free
+            # window-max of gram_chars over ALL positions, which equals the
+            # old all-runs max because a unique gram's coverage IS its
+            # gram_chars.  Divergence is possible only under 64-bit hash
+            # collisions — the same caveat the unpruned form already
+            # carried; the DuckDB twin stays the collision-free check.
             if n_tok:
-                g = th.copy()
+                g = _buf("g", n_tok, np.uint64)
+                np.copyto(g, th)
+                prev_dup = None
                 for n in range(2, max(all_ns) + 1):
-                    if n_tok >= n:
-                        g = g[: n_tok - n + 1] * P_TOK + th[n - 1 :]
+                    m = n_tok - n + 1
+                    if m <= 0:
+                        break
+                    np.multiply(g[:m], P_TOK, out=g[:m])
+                    np.add(g[:m], th[n - 1 :], out=g[:m])
+                    valid = _buf("valid", m, bool)
+                    np.equal(doc_idx[:m], doc_idx[n - 1 :], out=valid)
+                    if prev_dup is None:
+                        cand = np.flatnonzero(valid)
                     else:
-                        g = g[:0]
-                    if n not in all_ns or not len(g):
-                        continue
-                    valid = doc_idx[: len(g)] == doc_idx[n - 1 :]
-                    d = doc_idx[: len(g)][valid]
-                    gv = g[valid]
-                    gchars = (cum[n:] - cum[:-n])[valid]
-                    if not len(gv):
-                        continue
-                    order = np.lexsort((gv, d))
-                    ds, gs, cs = d[order], gv[order], gchars[order]
-                    run_start = np.empty(len(gs), dtype=bool)
-                    run_start[0] = True
-                    np.not_equal(gs[1:], gs[:-1], out=run_start[1:])
-                    run_start[1:] |= ds[1:] != ds[:-1]
-                    starts_r = np.flatnonzero(run_start)
-                    cnt = np.diff(np.append(starts_r, len(gs)))
-                    cov = cnt * cs[starts_r]
-                    run_doc = ds[starts_r]
-                    # runs are doc-contiguous after the lexsort: reduce per
-                    # doc SEGMENT (ufunc.at is ~1 µs/elem — never use it)
-                    seg_start = np.empty(len(run_doc), dtype=bool)
-                    seg_start[0] = True
-                    np.not_equal(run_doc[1:], run_doc[:-1], out=seg_start[1:])
-                    seg_idx = np.flatnonzero(seg_start)
-                    seg_doc = run_doc[seg_idx]
-                    if n in top_ns:
-                        top_cov[n][seg_doc] = np.maximum.reduceat(cov, seg_idx)
-                    if n in dup_ns:
-                        dup = cov * (cnt > 1)
-                        dup_cov[n][seg_doc] = np.add.reduceat(dup, seg_idx)
+                        cmask = _buf("cmask", m, bool)
+                        np.logical_and(valid, prev_dup[:m], out=cmask)
+                        np.logical_and(cmask, prev_dup[1 : m + 1], out=cmask)
+                        cand = np.flatnonzero(cmask)
+                    new_dup = _buf("dupA" if n % 2 else "dupB", m, bool)
+                    new_dup[:] = False
+                    if len(cand):
+                        d_c = doc_idx[cand]
+                        g_c = g[:m][cand]
+                        order = np.lexsort((g_c, d_c))
+                        gs, ds = g_c[order], d_c[order]
+                        run_start = np.empty(len(gs), dtype=bool)
+                        run_start[0] = True
+                        np.not_equal(gs[1:], gs[:-1], out=run_start[1:])
+                        run_start[1:] |= ds[1:] != ds[:-1]
+                        starts_r = np.flatnonzero(run_start)
+                        cnt = np.diff(np.append(starts_r, len(gs)))
+                        new_dup[cand[order]] = np.repeat(cnt, cnt) > 1
+                        if n in top_set or n in dup_set:
+                            pos_r = cand[order[starts_r]]
+                            cs = cum[pos_r + n] - cum[pos_r]
+                            cov = cnt * cs
+                            run_doc = ds[starts_r]
+                            seg_idx, seg_doc = _doc_segments(run_doc)
+                            if n in dup_set:
+                                dup_cov[n][seg_doc] = np.add.reduceat(
+                                    cov * (cnt > 1), seg_idx
+                                )
+                            if n in top_set:
+                                top_cov[n][seg_doc] = np.maximum.reduceat(
+                                    np.where(cnt > 1, cov, 0), seg_idx
+                                )
+                    prev_dup = new_dup
+                    if n in top_set:
+                        # sort-free per-doc window max over ALL valid
+                        # positions (covers every count-1 gram)
+                        vpos = np.flatnonzero(valid)
+                        if len(vpos):
+                            gch_v = cum[vpos + n] - cum[vpos]
+                            seg_idx, seg_doc = _doc_segments(doc_idx[vpos])
+                            win = np.maximum.reduceat(gch_v, seg_idx)
+                            top_cov[n][seg_doc] = np.maximum(
+                                top_cov[n][seg_doc], win
+                            )
             denom = np.maximum(totals, 1).astype(np.float64)
             arrays = [ids.cast(pa.int64())]
             flag = np.zeros(n_docs, dtype=bool)
