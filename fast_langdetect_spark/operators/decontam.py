@@ -118,11 +118,77 @@ def benchmark_ngrams(
 ) -> DataFrame:
     """Distinct n-gram keys of the benchmark set: one ``gram_key`` column.
 
-    The distinct() here is a shuffle of the BENCHMARK only (small side)."""
+    The distinct() here is a shuffle of the BENCHMARK only (small side).
+
+    Round 6: the returned DataFrame additionally carries its SOURCE
+    (``_fld_bench_source = (bench_df, text_col, n)``) as a Python
+    attribute, which lets :func:`decontaminate` rebuild the key set with
+    its rolling-hash membership kernel (zero joins, no per-gram string
+    hashing) while the xxhash64 ``gram_key`` column stays the public
+    contract for every other consumer (``decontaminate_spans``, custom
+    joins) — derived DataFrames (``.select()`` etc.) drop the attribute
+    and those consumers fall back to the legacy join automatically."""
     bench = bench_df.select(
         F.monotonically_increasing_id().alias("__bid"), F.col(text_col)
     )
-    return _gram_rows(bench, "__bid", text_col, n).select("gram_key").distinct()
+    out = _gram_rows(bench, "__bid", text_col, n).select("gram_key").distinct()
+    out._fld_bench_source = (bench_df, text_col, n)
+    return out
+
+
+def _poly_gram_batch(col, n: int):
+    """(doc_idx, gram_hash) for the n-grams of an Arrow utf8 column of
+    ALREADY-LOWERCASED text — the decontam token dialect is lower(text)
+    split on the repo class, which byte-tokenizes identically to
+    repetition._tokenize_utf8_batch (separators are ASCII and no unicode
+    lowercase mapping produces a separator byte).  Gram keys are the
+    rolling poly-hash fold of repetition's per-token hashes; both the
+    benchmark and the corpus side use THIS function, so membership is
+    consistent, and the DuckDB oracle joins raw gram text (the
+    collision-free twin, as before — the linear-poly caveat of the
+    repetition kernel applies here too)."""
+    import numpy as np
+
+    from .repetition import _P_TOK, _tokenize_utf8_batch
+
+    n_docs, doc_idx, _char_lens, th = _tokenize_utf8_batch(col)
+    n_tok = len(th)
+    m = n_tok - n + 1
+    if m <= 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.uint64),
+        )
+    P_TOK = np.uint64(_P_TOK)
+    g = th.copy()
+    for k in range(1, n):
+        g = g[: n_tok - k] * P_TOK + th[k:]
+    valid = doc_idx[:m] == doc_idx[n - 1 :]
+    return doc_idx[:m][valid], g[valid]
+
+
+def _poly_bench_keys(bench_df: DataFrame, text_col: str, n: int):
+    """Distinct rolling-hash gram keys of the benchmark set as a sorted
+    numpy array (driver-side; benchmarks are MBs by design — the same
+    assumption the broadcast join already made)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    src = bench_df.select(F.lower(F.col(text_col)).alias("__t"))
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            _d, gv = _poly_gram_batch(batch.column(0), n)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.unique(gv.astype(np.int64)))], names=["gram_key"]
+            )
+
+    rows = src.mapInArrow(kernel, schema="gram_key long").distinct().collect()
+    keys = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    keys.sort()
+    return keys
 
 
 def decontaminate(
@@ -142,11 +208,72 @@ def decontaminate(
     ``bench_grams`` (a ``gram_key`` DataFrame from :func:`benchmark_ngrams`),
     ``contaminated`` = n_hit_ngrams >= min_overlap.
 
-    Plan shape (see module docstring): codegen gram-row generation
-    (posexplode + projected hash, no interpreted lambda — see _gram_rows) →
-    broadcast inner join with the benchmark set → countDistinct groupBy on
-    the HIT rows only (per-doc dedupe deferred past the join, where the
-    row set is already small) → left join back (AQE-broadcastable)."""
+    Plan shape: when ``bench_grams`` came straight from
+    :func:`benchmark_ngrams` (it carries its source), the round-6 fast path
+    runs — ONE mapInArrow stage over (id, lower(text)): rolling-hash gram
+    keys (shared with the benchmark side, see _poly_gram_batch) probed
+    against the collected+broadcast sorted key array via searchsorted,
+    distinct hits counted per doc in the kernel.  Zero joins, zero
+    shuffles, no per-gram string hashing (the xxhash64(slice) build was
+    ~60% of curation_extras' decontam cpu).  Results are identical modulo
+    64-bit collisions — the same caveat the xxhash64 join carried, and the
+    DuckDB oracle remains the collision-free raw-gram check.  Otherwise
+    (hand-built gram sets, or a benchmark too large to collect) the legacy
+    codegen shape runs: gram-row generation (posexplode + projected hash,
+    no interpreted lambda — see _gram_rows) → broadcast inner join →
+    countDistinct groupBy on the HIT rows only → left join back."""
+    src = getattr(bench_grams, "_fld_bench_source", None)
+    if src is not None and src[2] == n:
+        from typing import Iterator
+
+        import numpy as np
+        import pyarrow as pa
+
+        keys = _poly_bench_keys(src[0], src[1], n)
+        spark = docs.sparkSession
+        bkeys = spark.sparkContext.broadcast(keys)
+        mo = int(min_overlap)
+
+        def kernel(
+            batches: Iterator[pa.RecordBatch],
+        ) -> Iterator[pa.RecordBatch]:
+            ks = bkeys.value
+            for batch in batches:
+                ids = batch.column(0)
+                n_docs = len(ids)
+                n_hit = np.zeros(n_docs, dtype=np.int64)
+                if len(ks):
+                    d, gv = _poly_gram_batch(batch.column(1), n)
+                    g64 = gv.view(np.int64)
+                    pos = np.searchsorted(ks, g64)
+                    pos[pos == len(ks)] = 0
+                    hit = ks[pos] == g64
+                    if hit.any():
+                        dh, gh = d[hit], g64[hit]
+                        order = np.lexsort((gh, dh))
+                        dh, gh = dh[order], gh[order]
+                        first = np.empty(len(dh), dtype=bool)
+                        first[0] = True
+                        np.not_equal(gh[1:], gh[:-1], out=first[1:])
+                        first[1:] |= dh[1:] != dh[:-1]
+                        n_hit += np.bincount(
+                            dh[first], minlength=n_docs
+                        ).astype(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.cast(pa.int64()),
+                        pa.array(n_hit),
+                        pa.array(n_hit >= mo),
+                    ],
+                    names=[id_col, "n_hit_ngrams", "contaminated"],
+                )
+
+        return docs.select(
+            F.col(id_col), F.lower(F.col(text_col)).alias("__t")
+        ).mapInArrow(
+            kernel,
+            schema=f"{id_col} long, n_hit_ngrams long, contaminated boolean",
+        )
     doc_grams = _gram_rows(docs, id_col, text_col, n).withColumnRenamed(
         "id", id_col
     )

@@ -14,25 +14,22 @@ chars in duplicated lines       ``dup_line_char_frac``      ≤ 0.10
 ``fineweb_quality_pass`` = all three bounds hold.  The third metric is the
 char-weighted duplicate-line fraction already implemented by
 ``repetition.gopher_line_repetition`` — here recomputed on the SAME
-raw-line identity (no trim) via a per-doc aggregate so the operator stays
-self-contained; the line family's one-repartition shape applies.
+raw-line identity (no trim) so the operator stays self-contained.
 
-Execution shape: the two fraction metrics are pure WholeStageCodegen maps
-(regexp_count arithmetic, the operators/gopher.py conventions: ``(?d)``
-UNIX_LINES guard on Spark-side multiline patterns, explicit ASCII classes,
-counters materialized once in a first projection; the short-line count is
-a line-anchored regex, not a per-line lambda).  The duplicate-line metric
-is the explode → (id, line) → (id) aggregate family: the second groupBy
-reuses the first's HashPartitioning(id), and the join back onto the doc
-rows shuffles the corpus by id once (per_doc is one row per doc).  Net:
-two id-hash exchanges and a second source scan for the line branch —
-the same budget as repetition.gopher_line_repetition.
+Execution shape (round 6): the whole operator is a pure MAP — the two
+fraction metrics are WholeStageCodegen regexp_count arithmetic (the
+operators/gopher.py conventions: ``(?d)`` UNIX_LINES guard on Spark-side
+multiline patterns, explicit ASCII classes, counters materialized once in
+a first projection; the short-line count is a line-anchored regex, not a
+per-line lambda), and the duplicate-line metric is a vectorized iterator
+Arrow UDF over the repetition-kernel byte tokenizer (see
+``dup_line_char_frac_udf``).  ZERO exchanges, no join, one source scan —
+the previous explode → (id, line-hash) → (id) aggregate family cost two
+id-hash exchanges, a join-back and a second scan.
 
 Reference parity context: /root/reference has no quality rules; public
 FineWeb paper is the spec (training-pipeline extension mandate).
 """
-
-from __future__ import annotations
 
 import re
 from typing import Mapping
@@ -66,12 +63,92 @@ def _pass_expr(cols: Mapping[str, Column]) -> Column:
     return flag
 
 
+_NL_LUT = None
+
+
+def _nl_lut():
+    import numpy as np
+
+    global _NL_LUT
+    if _NL_LUT is None:
+        lut = np.zeros(256, dtype=bool)
+        lut[0x0A] = True
+        _NL_LUT = lut
+    return _NL_LUT
+
+
+def dup_line_char_frac_udf():
+    """Iterator Arrow UDF computing the char-weighted duplicate-line
+    fraction per document — round 6's replacement for the explode →
+    (id, line-hash) aggregate → (id) rollup → join-back shape (two
+    id-hash exchanges, a join and a second source scan at 500k).
+
+    A doc's nonempty raw lines are exactly the maximal non-``\\n`` byte
+    runs (splitting on single ``\\n`` only ever adds EMPTY lines, which
+    the metric excludes), so the repetition-kernel byte tokenizer with a
+    ``\\n``-only separator LUT yields per-line doc index / code-point
+    length / content hash in flat NumPy passes, and the duplicate-group
+    arithmetic is one small lexsort per batch — within-doc state never
+    leaves the worker.  Line identity is the 64-bit content poly-hash
+    (the previous shape grouped on xxhash64(line)): identical modulo
+    collisions, and the DuckDB twin still groups the raw line as the
+    collision-free check."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    from .repetition import _tokenize_utf8_batch
+
+    # NOTE: this module deliberately has no `from __future__ import
+    # annotations` — arrow_udf resolves the Iterator[pa.Array] hints at
+    # registration time, which stringified annotations would break
+    @arrow_udf("double")
+    def _udf(batches: Iterator[pa.Array]) -> Iterator[pa.Array]:
+        nl = _nl_lut()
+        for arr in batches:
+            n_docs, doc_idx, char_lens, lh = _tokenize_utf8_batch(
+                arr, sep_lut=nl
+            )
+            dup = np.zeros(n_docs, dtype=np.int64)
+            tot = np.bincount(
+                doc_idx, weights=char_lens, minlength=n_docs
+            ).astype(np.int64)
+            if len(lh):
+                order = np.lexsort((lh, doc_idx))
+                ds, hs = doc_idx[order], lh[order]
+                run_start = np.empty(len(hs), dtype=bool)
+                run_start[0] = True
+                np.not_equal(hs[1:], hs[:-1], out=run_start[1:])
+                run_start[1:] |= ds[1:] != ds[:-1]
+                starts_r = np.flatnonzero(run_start)
+                cnt = np.diff(np.append(starts_r, len(hs)))
+                lens_r = char_lens[order[starts_r]]
+                contrib = (cnt - 1) * lens_r
+                seg_start = np.empty(len(starts_r), dtype=bool)
+                seg_start[0] = True
+                run_doc = ds[starts_r]
+                np.not_equal(run_doc[1:], run_doc[:-1], out=seg_start[1:])
+                seg_idx = np.flatnonzero(seg_start)
+                dup[run_doc[seg_idx]] = np.add.reduceat(contrib, seg_idx)
+            yield pa.array(
+                dup / np.maximum(tot, 1).astype(np.float64),
+                type=pa.float64(),
+            )
+
+    return _udf
+
+
 def with_fineweb_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Adds punct_line_frac, short_line_frac, dup_line_char_frac and
-    fineweb_quality_pass.  One repartition-by-id shuffle (the dup-line
-    aggregate); the two frac metrics ride along as a pure map."""
+    fineweb_quality_pass.  Round 6: a pure map — the two frac metrics are
+    native regexp_count arithmetic and the dup-line metric is a
+    vectorized Arrow UDF (see dup_line_char_frac_udf), so the operator
+    has ZERO exchanges and no join (previously: two id-hash exchanges +
+    join-back + second source scan)."""
     c = F.col(text_col)
     counters = {
         "_n_lines": F.size(F.split(c, "\n")),
@@ -86,40 +163,9 @@ def with_fineweb_signals(
         "punct_line_frac": F.col("_n_punct_lines") / lines_d,
         "short_line_frac": (F.col("_n_lines") - F.col("_n_long_lines"))
         / lines_d,
+        "dup_line_char_frac": dup_line_char_frac_udf()(c),
     }
-    staged = staged.withColumns(fracs)
-
-    # char-weighted duplicate-line fraction: per-(id, line) aggregate →
-    # per-id rollup, raw-line identity (no trim), empty lines excluded.
-    # Grouping key is xxhash64(line), NOT the line string — only compact
-    # (id, hash, len) rows shuffle (the repetition.py gram-hash lesson;
-    # measured 30.3 s → 6.7 s at 500k).  The DuckDB twin groups the raw
-    # line — the collision-free twin, same equivalence as the gram oracles.
-    lines = staged.select(
-        F.col(id_col).alias("_fw_id"), F.explode(F.split(c, "\n")).alias("_ln")
-    ).where(F.length("_ln") > 0)
-    per_line = lines.select(
-        "_fw_id", F.xxhash64("_ln").alias("_lh"), F.length("_ln").alias("_len")
-    ).groupBy("_fw_id", "_lh").agg(
-        F.count(F.lit(1)).alias("_cnt"), F.first("_len").alias("_len")
-    )
-    per_doc = per_line.groupBy("_fw_id").agg(
-        (
-            F.sum(
-                F.when(F.col("_cnt") > 1, (F.col("_cnt") - 1) * F.col("_len"))
-                .otherwise(0)
-            )
-            / F.greatest(
-                F.sum(F.col("_cnt") * F.col("_len")), F.lit(1)
-            ).cast("double")
-        ).alias("dup_line_char_frac")
-    )
-    out = staged.join(
-        per_doc, staged[id_col] == per_doc["_fw_id"], "left"
-    ).drop("_fw_id")
-    out = out.withColumn(
-        "dup_line_char_frac", F.coalesce("dup_line_char_frac", F.lit(0.0))
-    )
+    out = staged.withColumns(fracs)
     cols = {k: F.col(k) for k in FINEWEB_BOUNDS}
     return out.withColumn("fineweb_quality_pass", _pass_expr(cols)).drop(
         "_n_lines", "_n_punct_lines", "_n_long_lines"

@@ -552,22 +552,27 @@ def _poly_powers(max_len: int):
     return np.multiply.accumulate(a)
 
 
-def _tokenize_utf8_batch(col):
+def _tokenize_utf8_batch(col, sep_lut=None):
     """Vectorized tokenizer over an Arrow utf8/large_utf8 Array.
 
     Splits every document on the repo token class ``[ \\t\\r\\n\\f]+``
-    WITHOUT materializing Python strings: separators are single ASCII bytes,
-    so token boundaries, byte lengths, code-point lengths and the per-token
-    rolling poly-hash all come from flat NumPy passes over the Arrow value
-    buffer.  Returns ``(n_docs, doc_idx, char_lens, tok_hash)`` where
-    ``doc_idx``/``char_lens``/``tok_hash`` are per-token arrays in document
-    order and ``tok_hash`` is EXACTLY the hash the previous per-token Python
-    kernel computed (poly over utf-8 bytes, then ``*P_BYTE + byte_len``).
-    Null documents tokenize as empty.
+    (or any caller-supplied 256-entry ASCII separator LUT — e.g. just
+    ``\\n`` for line splitting, where maximal non-``\\n`` runs are exactly
+    the nonempty lines) WITHOUT materializing Python strings: separators
+    are single ASCII bytes, so token boundaries, byte lengths, code-point
+    lengths and the per-token rolling poly-hash all come from flat NumPy
+    passes over the Arrow value buffer.  Returns ``(n_docs, doc_idx,
+    char_lens, tok_hash)`` where ``doc_idx``/``char_lens``/``tok_hash``
+    are per-token arrays in document order and ``tok_hash`` is EXACTLY the
+    hash the previous per-token Python kernel computed (poly over utf-8
+    bytes, then ``*P_BYTE + byte_len``).  Null documents tokenize as
+    empty.
     """
     import numpy as np
     import pyarrow as pa
 
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
     n_docs = len(col)
     empty = (
         np.zeros(0, dtype=np.int64),
@@ -593,7 +598,7 @@ def _tokenize_utf8_batch(col):
     # scratch-backed big temporaries (see _SCRATCH): every L-sized or
     # token-bytes-sized array below is reused across batches/tasks
     sep = _buf("sep", L, bool)
-    np.take(_sep_lut(), data, out=sep)
+    np.take(_sep_lut() if sep_lut is None else sep_lut, data, out=sep)
     if col.null_count:
         valid_docs = col.is_valid().to_numpy(zero_copy_only=False)
         for i in np.flatnonzero(~valid_docs):

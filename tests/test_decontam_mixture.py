@@ -337,3 +337,40 @@ def test_decontaminate_spans_fuzz(spark):
     for i in docs:
         assert got[i]["text"] == gold[i]["text"], (i, docs[i])
         assert got[i]["n_removed_tokens"] == gold[i]["n_removed_tokens"]
+
+
+def test_decontaminate_fast_path_matches_legacy(spark):
+    """The round-6 rolling-hash membership kernel must produce the same
+    rows as the legacy xxhash64 broadcast-join shape (collision-free on
+    any realistic fixture), including <n-token docs, unicode, nulls and
+    case folding."""
+    from pyspark.sql import functions as F
+
+    from fast_langdetect_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate,
+    )
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog again and again"),
+        (2, "the QUICK Brown fox JUMPS over the lazy dog again and again"),
+        (3, "short doc"),
+        (4, None),
+        (5, "日本語 の トークン 列 を 含む 文書 です ね はい そう です"),
+        (6, "completely unrelated tokens nothing shared here at all ever"),
+        (7, "  leading   and trailing   " + "pad " * 20),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench_src = docs.where(F.col("doc_id").isin(1, 5))
+    bench = benchmark_ngrams(bench_src, n=4)
+    fast = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=4).collect()
+    }
+    legacy = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+        for r in decontaminate(docs, bench.select("gram_key"), n=4).collect()
+    }
+    assert fast == legacy
+    assert fast[1][1] and fast[2][1]  # case folding: doc 2 hits doc 1's grams
+    assert not fast[6][1]

@@ -92,9 +92,11 @@ def test_curation_default_mode_single_arrow_crossing(spark):
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
-    """The corpus side must stream: benchmark gram set broadcast, no
-    SortMergeJoin against the exploded corpus grams, no Python stage
-    (gram generation is pure Catalyst)."""
+    """Fast path (bench set straight from benchmark_ngrams): ONE
+    mapInArrow membership stage, zero joins/exchanges over the corpus.
+    Legacy path (derived gram DataFrame, source attribute lost): the
+    benchmark gram set broadcast, no SortMergeJoin against the exploded
+    corpus grams, no Python stage (gram generation is pure Catalyst)."""
     from fast_langdetect_spark.operators.decontam import (
         benchmark_ngrams,
         decontaminate,
@@ -102,7 +104,12 @@ def test_decontaminate_broadcasts_benchmark(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     bench = benchmark_ngrams(docs.where(F.col("doc_id") % 7 == 3), n=8)
-    plan = _plan(decontaminate(docs, bench, n=8))
+    fast_plan = _plan(decontaminate(docs, bench, n=8))
+    assert "MapInArrow" in fast_plan
+    assert fast_plan.count("Exchange") == 0
+    assert "Join" not in fast_plan
+    legacy_bench = bench.select("gram_key")  # drops _fld_bench_source
+    plan = _plan(decontaminate(docs, legacy_bench, n=8))
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 

@@ -331,7 +331,27 @@ def scrub_new(df):
     return df.select("doc_id", F.length(scrub_column(F.col("text"))).alias("s"))
 
 
+def _decontam(fast: bool):
+    from fast_langdetect_spark.operators.decontam import (
+        benchmark_ngrams,
+        decontaminate,
+    )
+
+    def fn(df):
+        docs = df.withColumnRenamed("text", "content")
+        bench = benchmark_ngrams(
+            docs.where(F.pmod(F.col("doc_id"), F.lit(997)) == 0),
+            text_col="content", n=13,
+        )
+        if not fast:
+            bench = bench.select("gram_key")  # drop source → legacy join
+        return decontaminate(docs, bench, text_col="content", n=13)
+
+    return fn
+
+
 PAIRS = {
+    "decontam": (_decontam(False), _decontam(True)),
     "scrub": (scrub_old, scrub_new),
     "quality": (quality_old, quality_new),
     "q_alpha": (_quality_subset(set()), _quality_subset({"alpha"})),
