@@ -42,14 +42,28 @@ FOLD_DST = "''''" + '""""""' + "----" + "    "
 ELLIPSIS = "…"
 # C0 controls minus \t\n\r, plus DEL — identical in Java, RE2 and Python
 CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+# the same set as explicit characters (Spark-side round-6 form: folded into
+# the translate's delete tail — one char-map pass instead of a second
+# full-string regexp_replace; the twins keep the regex class, identical set)
+CONTROL_CHARS = (
+    "".join(chr(b) for b in range(0x00, 0x09))
+    + "\x0b\x0c"
+    + "".join(chr(b) for b in range(0x0E, 0x20))
+    + "\x7f"
+)
 COLLAPSE_RE = r"[ \t]{2,}"  # interior runs only: no anchors, no groups
 
 
 def normalize_text_column(col: Column, *, collapse_ws: bool = False) -> Column:
-    out = F.regexp_replace(
-        F.translate(F.replace(col, F.lit(ELLIPSIS), F.lit("...")), FOLD_SRC, FOLD_DST),
-        CONTROL_RE,
-        "",
+    # steps 2+3 merged into ONE translate (round 6): FOLD_SRC's tail beyond
+    # len(FOLD_DST) is deleted, so appending the control chars to the source
+    # deletes them in the same pass.  Equivalent to translate-then-
+    # regexp_replace because the two sets are disjoint and neither step
+    # produces characters the other consumes.
+    out = F.translate(
+        F.replace(col, F.lit(ELLIPSIS), F.lit("...")),
+        FOLD_SRC + CONTROL_CHARS,
+        FOLD_DST,
     )
     if collapse_ws:
         out = F.regexp_replace(out, COLLAPSE_RE, " ")

@@ -33,9 +33,15 @@ def langid_short_col(text_col: str, max_input_length: int = DEFAULT_MAX_INPUT_LE
 
     Matches _preprocess_text (reference infer.py:234-243) exactly; both steps
     are idempotent so the in-UDF parity preprocess is a no-op re-application.
+
+    Round 6: truncate FIRST, then fold newlines with translate — the
+    newline→space map is 1:1 per code point, so
+    substring(replace(c)) == replace(substring(c)) character-for-character,
+    and the old form regex-scanned the ENTIRE multi-KB content to keep 80
+    chars.  translate (plain char map) replaces the regexp machinery.
     """
-    return F.substring(
-        F.regexp_replace(F.col(text_col), "\n", " "), 1, max_input_length
+    return F.translate(
+        F.substring(F.col(text_col), 1, max_input_length), "\n", " "
     )
 
 

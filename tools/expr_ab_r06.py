@@ -350,7 +350,50 @@ def _decontam(fast: bool):
     return fn
 
 
+def _gopher_subset(drop: set):
+    """Cost ablation for gopher counters (cost attribution only)."""
+    from fast_langdetect_spark.operators import gopher as G
+
+    def fn(df):
+        c = F.col("text")
+        counters = {}
+        if "words" not in drop:
+            counters["n_words"] = F.regexp_count(c, F.lit(G.RE_WORD))
+            counters["_word_chars"] = F.length(
+                F.regexp_replace(c, "[ \t\r\n\f]", "")
+            )
+        if "lines" not in drop:
+            counters["_n_lines"] = F.size(F.split(c, "\n"))
+            counters["_n_bullets"] = F.regexp_count(
+                c, F.lit(G._java(G.RE_BULLET_LINE))
+            )
+            counters["_n_ellipsis"] = F.regexp_count(
+                c, F.lit(G._java(G.RE_ELLIPSIS_LINE))
+            )
+        if "sym" not in drop:
+            counters["_n_symbols"] = F.regexp_count(c, F.lit(G.RE_SYMBOL))
+        if "stop" not in drop:
+            counters["_stop_norm"] = F.concat(
+                F.lit(" "),
+                F.regexp_replace(F.lower(c), G.RE_STOPWORD_SPLIT_JAVA, " "),
+                F.lit(" "),
+            )
+        out = df.withColumns(counters)
+        if "stop" not in drop:
+            hits = F.lit(0)
+            for w in G.REQUIRED_STOPWORDS:
+                hits = hits + F.col("_stop_norm").contains(f" {w} ").cast("int")
+            out = out.withColumn("stopword_hits", hits)
+        return out.drop("text", "_stop_norm")
+
+    return fn
+
+
 PAIRS = {
+    "g_words": (_gopher_subset(set()), _gopher_subset({"words"})),
+    "g_lines": (_gopher_subset(set()), _gopher_subset({"lines"})),
+    "g_sym": (_gopher_subset(set()), _gopher_subset({"sym"})),
+    "g_stop": (_gopher_subset(set()), _gopher_subset({"stop"})),
     "decontam": (_decontam(False), _decontam(True)),
     "scrub": (scrub_old, scrub_new),
     "quality": (quality_old, quality_new),
