@@ -105,8 +105,18 @@ def with_c4_signals(
     # projections apart and the regex chain runs exactly once per row
     # (building one flat column dict instead duplicated the chain 6× in
     # the executed plan: 18 regexp_replace nodes vs 3 after this split)
-    staged = df.withColumn("c4_text", c4_clean_expr(text_col, min_words))
+    # __c4_lower materialized alongside c4_text: referenced by the lorem
+    # probe and the 7 toxicity guards, one of which sits in a non-first
+    # when() branch that codegen CSE skips — an inline lower(c) would be
+    # evaluated twice per row
+    staged = df.withColumns(
+        {
+            "c4_text": c4_clean_expr(text_col, min_words),
+            "__c4_lower": F.lower(c),
+        }
+    )
     cleaned = F.col("c4_text")
+    low = F.col("__c4_lower")
     signals = {
         "n_lines_total": F.size(F.split(c, "\n")),
         "n_lines_kept": F.when(cleaned == "", 0).otherwise(
@@ -117,14 +127,13 @@ def with_c4_signals(
             (F.length(c) - F.length(cleaned))
             / F.greatest(F.length(c), F.lit(1)).cast("double")
         ),
-        "has_lorem_ipsum": F.lower(c).contains("lorem ipsum"),
+        "has_lorem_ipsum": low.contains("lorem ipsum"),
         "has_curly_brace": c.contains("{"),
-        # round 6: guarded contains-probe form (quality.toxicity_expr, value
-        # identical); the F.lower(c) subtree is shared with has_lorem_ipsum
-        # via codegen CSE
-        "has_bad_words": toxicity_expr(c, F.lower(c)),
+        # round 6: guarded contains-probe form (quality.toxicity_expr,
+        # value identical)
+        "has_bad_words": toxicity_expr(c, low),
     }
-    out = staged.withColumns(signals)
+    out = staged.withColumns(signals).drop("__c4_lower")
     doc_pass = (
         (F.col("n_sentences") >= min_sentences)
         & ~F.col("has_lorem_ipsum")
