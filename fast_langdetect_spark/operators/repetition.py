@@ -689,8 +689,11 @@ def gopher_repetition_fast(
 
     Gram keys are 64-bit rolling poly-hashes of per-token byte hashes
     (wraparound uint64); collisions only matter within one (doc, n) group
-    — same 1e-8 birthday argument as the Catalyst xxhash64 form, and the
-    DuckDB twin remains the collision-free check.
+    — same 1e-8 birthday argument as the Catalyst xxhash64 form for
+    RANDOM inputs, but poly hashes are linear in the input, so CRAFTED
+    token sets can collide far above that bound (round-5 advice): treat
+    the bound as statistical, not adversarial.  The DuckDB twin remains
+    the collision-free check.
     """
     from typing import Iterator
 

@@ -39,13 +39,19 @@ def force_single_thread_blas() -> bool:
             for line in open("/proc/self/maps")
             if "openblas" in line.lower() and line.split()[-1].startswith("/")
         }
+        # clamp EVERY distinct loaded copy (numpy and scipy may each vendor
+        # their own libopenblas; returning after the first left the others
+        # multithreaded — round-5 advice)
+        ok = False
         for path in sorted(libs):
             lib = ctypes.CDLL(path)
             for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
                 fn = getattr(lib, sym, None)
                 if fn is not None:
                     fn(1)
-                    return True
+                    ok = True
+                    break
+        return ok
     except Exception:  # pragma: no cover - non-Linux / static BLAS
         pass
     return False
