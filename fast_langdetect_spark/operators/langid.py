@@ -162,7 +162,17 @@ def with_language(
     udf = lang_top_udf(
         model_path, normalize=normalize, max_input_length=max_input_length
     )
-    det = udf(F.col(text_col))
+    # ship only the truncated text across the Arrow boundary: the UDF's
+    # preprocess (newline→space then truncate) is idempotent, and the
+    # 1:1 newline fold commutes with the code-point truncate, so
+    # pre-shortening natively is value-identical (round 6; same argument
+    # as scoring.langid_short_col)
+    col = F.col(text_col)
+    if max_input_length is not None:
+        col = F.translate(
+            F.substring(col, 1, max_input_length), "\n", " "
+        )
+    det = udf(col)
     return df.withColumn("__det", det).withColumn(
         f"{out_prefix}_top", F.col("__det.lang")
     ).withColumn(f"{out_prefix}_score", F.col("__det.score")).drop("__det")

@@ -53,17 +53,24 @@ def combined_scores_udf(
     max_input_length: Optional[int] = DEFAULT_MAX_INPUT_LENGTH,
     doc_cap: int = DEFAULT_DOC_CAP,
 ):
-    """(short_text, content) → struct<lang:string, lang_score:float,
-    perplexity:double>, model + LM loaded once per worker."""
+    """(content) → struct<lang:string, lang_score:float,
+    perplexity:double>, model + LM loaded once per worker.
+
+    Round 6: the langid short text is derived INSIDE the UDF from the
+    content column the perplexity scorer needs anyway — slicing to
+    ``max_input_length`` code points first and replacing newlines after
+    is character-identical to the reference order (newline→space is 1:1
+    per code point, so replace and slice commute), and it drops the
+    second Arrow column plus its pandas string materialization from the
+    crossing."""
 
     @pandas_udf("struct<lang:string, lang_score:float, perplexity:double>")
-    def _udf(
-        batches: Iterator[Tuple[pd.Series, pd.Series]]
-    ) -> Iterator[pd.DataFrame]:
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         model = _get_worker_model(model_path)
         lm = CharTrigramLM.load(lm_path) if lm_path else default_lm()
         labels = np.asarray(model.labels_stripped, dtype=object)
-        for short, content in batches:
+        for content in batches:
+            short = content.str.slice(0, max_input_length)
             prepared = normalize_series(
                 preprocess_series(short, max_input_length), normalize
             )
@@ -202,7 +209,6 @@ def with_scores(
         from ..resources import resolve_lite_model_path
 
         model_path = str(resolve_lite_model_path())
-    short = langid_short_col(text_col, max_input_length)
     if not script_gate:
         udf = combined_scores_udf(
             model_path,
@@ -212,12 +218,13 @@ def with_scores(
             doc_cap=doc_cap,
         )
         return (
-            df.withColumn("__sc", udf(short, F.col(text_col)))
+            df.withColumn("__sc", udf(F.col(text_col)))
             .withColumn("lang_top", F.col("__sc.lang"))
             .withColumn("lang_score", F.col("__sc.lang_score"))
             .withColumn("perplexity", F.col("__sc.perplexity"))
             .drop("__sc")
         )
+    short = langid_short_col(text_col, max_input_length)
     from .textstats import script_lang_guess
 
     udf = gated_scores_udf(
