@@ -135,13 +135,21 @@ class CharTrigramLM:
         separator into ONE symbol array; trigram indices, table gathers and
         per-doc segment sums each happen once per batch (reduceat), so the
         per-document Python overhead is just the utf-8 encode."""
-        n = len(texts)
-        out = np.full(n, self.default_logp, dtype=np.float64)
-        if n == 0:
-            return out
         encs = [
             (text[:doc_cap] if text else "").encode("utf-8") for text in texts
         ]
+        return self.score_encs(encs)
+
+    def score_encs(self, encs: Sequence[bytes]) -> np.ndarray:
+        """Mean log10 P per document over ALREADY-ENCODED (and doc-capped)
+        utf-8 byte strings — the shared core of the str path above and the
+        round-6 Arrow path (which slices the value buffer instead of
+        encoding Python strings).  Chunking and summation order are
+        identical for identical bytes, so the two paths are bit-equal."""
+        n = len(encs)
+        out = np.full(n, self.default_logp, dtype=np.float64)
+        if n == 0:
+            return out
         i = 0
         while i < n:
             j, size = i, 0

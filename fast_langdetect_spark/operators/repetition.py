@@ -552,7 +552,22 @@ def _poly_powers(max_len: int):
     return np.multiply.accumulate(a)
 
 
-def _tokenize_utf8_batch(col, sep_lut=None):
+_ALPHA_LUT = None
+
+
+def _alpha_lut():
+    import numpy as np
+
+    global _ALPHA_LUT
+    if _ALPHA_LUT is None:
+        lut = np.zeros(256, dtype=bool)
+        lut[0x41:0x5B] = True
+        lut[0x61:0x7B] = True
+        _ALPHA_LUT = lut
+    return _ALPHA_LUT
+
+
+def _tokenize_utf8_batch(col, sep_lut=None, want="hash"):
     """Vectorized tokenizer over an Arrow utf8/large_utf8 Array.
 
     Splits every document on the repo token class ``[ \\t\\r\\n\\f]+``
@@ -567,6 +582,11 @@ def _tokenize_utf8_batch(col, sep_lut=None):
     hash the previous per-token Python kernel computed (poly over utf-8
     bytes, then ``*P_BYTE + byte_len``).  Null documents tokenize as
     empty.
+
+    ``want="alpha"`` replaces the hash with a per-token BOOL array (token
+    contains an ASCII letter — multi-byte code points cannot alias
+    A–Za–z) and skips the hash arithmetic; ``want="none"`` returns only
+    counts/lengths (the fourth element is an empty array).
     """
     import numpy as np
     import pyarrow as pa
@@ -635,8 +655,10 @@ def _tokenize_utf8_batch(col, sep_lut=None):
     cont_cum[0] = 0
     np.cumsum((data & 0xC0) == 0x80, out=cont_cum[1:])
     char_lens = byte_lens - (cont_cum[tok_ends + 1] - cont_cum[tok_starts])
-    # per-token poly hash: every nonsep byte belongs to exactly one token,
-    # so the compacted nonsep bytes ARE the concatenated token bytes
+    if want == "none":
+        return n_docs, doc_idx.astype(np.int64), char_lens, np.zeros(0, np.uint64)
+    # compacted token bytes: every nonsep byte belongs to exactly one
+    # token, so the nonsep bytes ARE the concatenated token bytes
     ns_cum = _buf("cum2", L + 1, np.int64)
     ns_cum[0] = 0
     np.cumsum(nonsep, out=ns_cum[1:])
@@ -644,9 +666,13 @@ def _tokenize_utf8_batch(col, sep_lut=None):
     idx = np.flatnonzero(nonsep)
     tb8 = _buf("tb8", nbytes, np.uint8)
     np.take(data, idx, out=tb8)
+    cstart = ns_cum[tok_starts]
+    if want == "alpha":
+        has_alpha = np.add.reduceat(_alpha_lut()[tb8], cstart) > 0
+        return n_docs, doc_idx.astype(np.int64), char_lens, has_alpha
+    # per-token poly hash
     tb = _buf("tb64", nbytes, np.uint64)
     np.copyto(tb, tb8)
-    cstart = ns_cum[tok_starts]
     pos = _buf("pos", nbytes, np.int64)
     np.subtract(
         _buf("arange", nbytes, np.int64), np.repeat(cstart, byte_lens), out=pos

@@ -2,26 +2,29 @@
 
 Profiling on this environment showed the Arrow round-trip of the `content`
 column costs more than the model math itself, so the pipeline's two pandas
-UDFs are fused into one that returns struct<lang, lang_score, perplexity>.
-The langid input is pre-shortened NATIVELY (newline→space + 80-char truncate
-— the first half of the reference's preprocessing, which is idempotent, so
-re-applying it inside the UDF preserves exact parity) and ships as a second
-tiny column; full content ships once for the perplexity scorer.
+UDFs are fused into one.  Round 6 upgraded the fused UDF to an iterator
+ARROW UDF over the content column alone: the perplexity scorer consumes
+per-doc byte slices of the Arrow value buffer directly (no Python-str
+materialization of multi-KB documents, no per-doc utf-8 encode), the
+80-code-point langid short text is sliced out with pyarrow.compute, and —
+since the buffer is already in hand — the struct also carries the
+pipeline's token counts (n_tokens, n_alpha_tokens from the shared byte
+tokenizer), letting score_pipeline drop its interpreted per-token lambda
+block.  Everything else (rules, scrub, sha, combiner) never leaves the
+JVM; the plan still has exactly ONE ArrowEvalPython node.
 
-Cost model at 10^12 files: Arrow bytes/row ≈ len(content) + 80·4 + few —
-the unavoidable minimum for any Python-scored pipeline; everything else
-(rules, scrub, sha, combiner) never leaves the JVM.
+NOTE: no `from __future__ import annotations` in this module — arrow_udf
+resolves the Iterator[pa.Array] hints at registration time.
 """
-
-from __future__ import annotations
 
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 
 from ..core.preprocess import DEFAULT_MAX_INPUT_LENGTH, normalize_series, preprocess_series
 from .langid import _get_worker_model
@@ -45,6 +48,49 @@ def langid_short_col(text_col: str, max_input_length: int = DEFAULT_MAX_INPUT_LE
     )
 
 
+def _doc_byte_slices(arr: "pa.Array", doc_cap: int):
+    """Per-document utf-8 byte strings of an Arrow utf8 array, truncated to
+    ``doc_cap`` CODE POINTS (identical bytes to
+    ``(text[:doc_cap] or "").encode("utf-8")`` — utf-8 slicing at a code
+    point boundary is the encoded prefix).  Nulls yield b""."""
+    n = len(arr)
+    if n == 0:
+        return []
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    off0 = arr.offset
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[off0 : off0 + n + 1].astype(
+        np.int64
+    )
+    if bufs[2] is None:
+        return [b""] * n
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    starts, ends = offsets[:-1], offsets[1:].copy()
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        ends = np.where(valid, ends, starts)
+    # byte cut of the doc_cap-th code point for docs that might exceed it
+    # (code points <= bytes, so short-in-bytes docs never need the scan)
+    long_docs = np.flatnonzero(ends - starts > doc_cap)
+    if len(long_docs):
+        base, stop = int(starts.min(initial=0)), int(ends.max(initial=0))
+        noncont = (data[base:stop] & 0xC0) != 0x80
+        nc_cum = np.zeros(stop - base + 1, dtype=np.int64)
+        np.cumsum(noncont, out=nc_cum[1:])
+        nz = np.flatnonzero(noncont) + base  # start byte of each code point
+        for i in long_docs:
+            s, e = int(starts[i]), int(ends[i])
+            cps = nc_cum[e - base] - nc_cum[s - base]
+            if cps > doc_cap:
+                ends[i] = nz[nc_cum[s - base] + doc_cap]
+    return [
+        data[s:e].tobytes() for s, e in zip(starts.tolist(), ends.tolist())
+    ]
+
+
 def combined_scores_udf(
     model_path: str,
     lm_path: Optional[str] = None,
@@ -53,24 +99,36 @@ def combined_scores_udf(
     max_input_length: Optional[int] = DEFAULT_MAX_INPUT_LENGTH,
     doc_cap: int = DEFAULT_DOC_CAP,
 ):
-    """(content) → struct<lang:string, lang_score:float,
-    perplexity:double>, model + LM loaded once per worker.
+    """(content) → struct<lang:string, lang_score:float, perplexity:double,
+    n_tokens:int, n_alpha_tokens:int>, model + LM loaded once per worker.
 
-    Round 6: the langid short text is derived INSIDE the UDF from the
-    content column the perplexity scorer needs anyway — slicing to
-    ``max_input_length`` code points first and replacing newlines after
-    is character-identical to the reference order (newline→space is 1:1
-    per code point, so replace and slice commute), and it drops the
-    second Arrow column plus its pandas string materialization from the
-    crossing."""
+    Iterator ARROW UDF (round 6): content arrives as an Arrow utf8 array —
+    the langid short text is ``utf8_slice_codeunits(content, 0, 80)``
+    (code-point slicing, identical to Python ``text[:80]``; the reference's
+    newline fold commutes with the truncate and is re-applied by the parity
+    preprocess), the perplexity scorer consumes per-doc value-buffer slices
+    (bit-identical bytes to the old per-doc encode — see
+    CharTrigramLM.score_encs), and the token counts come from the shared
+    byte tokenizer (same ``[ \\t\\r\\n\\f]+`` maximal-run token set as
+    quality's split+filter form; a token "has alpha" iff it contains an
+    A–Za–z byte, which multi-byte code points cannot alias)."""
+    from .repetition import _tokenize_utf8_batch
 
-    @pandas_udf("struct<lang:string, lang_score:float, perplexity:double>")
-    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    @arrow_udf(
+        "struct<lang:string, lang_score:float, perplexity:double, "
+        "n_tokens:int, n_alpha_tokens:int>"
+    )
+    def _udf(batches: Iterator[pa.Array]) -> Iterator[pa.Array]:
+        import pyarrow.compute as pc
+
         model = _get_worker_model(model_path)
         lm = CharTrigramLM.load(lm_path) if lm_path else default_lm()
         labels = np.asarray(model.labels_stripped, dtype=object)
-        for content in batches:
-            short = content.str.slice(0, max_input_length)
+        for arr in batches:
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            n = len(arr)
+            short = pc.utf8_slice_codeunits(arr, 0, max_input_length).to_pandas()
             prepared = normalize_series(
                 preprocess_series(short, max_input_length), normalize
             )
@@ -80,16 +138,30 @@ def combined_scores_udf(
             np.minimum(score, 1.0, out=score)
             lang = labels[top]
             lang[~valid] = None
-            ppl = lm.perplexity(content.tolist(), doc_cap=doc_cap)
-            out = pd.DataFrame(
-                {
-                    "lang": lang,
-                    "lang_score": pd.array(score.astype(np.float32), dtype="float32"),
-                    "perplexity": ppl,
-                }
+            ppl = lm.score_encs(_doc_byte_slices(arr, doc_cap))
+            np.power(10.0, -ppl, out=ppl)
+            n_docs, doc_idx, _chars, has_alpha = _tokenize_utf8_batch(
+                arr, want="alpha"
             )
-            out.loc[~valid, "lang_score"] = None
-            yield out
+            n_tok = np.bincount(doc_idx, minlength=n).astype(np.int32)
+            n_alpha = np.bincount(doc_idx[has_alpha], minlength=n).astype(
+                np.int32
+            )
+            score32 = score.astype(np.float32)
+            lang_score = pa.array(score32, type=pa.float32(), mask=~valid)
+            yield pa.StructArray.from_arrays(
+                [
+                    pa.array(lang, type=pa.string()),
+                    lang_score,
+                    pa.array(ppl, type=pa.float64()),
+                    pa.array(n_tok, type=pa.int32()),
+                    pa.array(n_alpha, type=pa.int32()),
+                ],
+                names=[
+                    "lang", "lang_score", "perplexity",
+                    "n_tokens", "n_alpha_tokens",
+                ],
+            )
 
     # asNondeterministic: the UDF IS deterministic, but declaring it so
     # lets Catalyst push keep-filters below the salt join and re-extract
@@ -187,6 +259,7 @@ def with_scores(
     doc_cap: int = DEFAULT_DOC_CAP,
     script_gate: bool = False,
     gate_langs: tuple = SCRIPT_GATE_LANGS,
+    keep_token_counts: bool = False,
 ) -> DataFrame:
     """Adds lang_top, lang_score, perplexity with a single Python crossing.
 
@@ -217,13 +290,20 @@ def with_scores(
             max_input_length=max_input_length,
             doc_cap=doc_cap,
         )
-        return (
+        out = (
             df.withColumn("__sc", udf(F.col(text_col)))
             .withColumn("lang_top", F.col("__sc.lang"))
             .withColumn("lang_score", F.col("__sc.lang_score"))
             .withColumn("perplexity", F.col("__sc.perplexity"))
-            .drop("__sc")
         )
+        if keep_token_counts:
+            # the UDF computed these from the same byte buffer anyway —
+            # score_pipeline uses them to skip the interpreted per-token
+            # lambda block in quality_metric_columns
+            out = out.withColumn(
+                "__n_tokens", F.col("__sc.n_tokens")
+            ).withColumn("__n_alpha_tokens", F.col("__sc.n_alpha_tokens"))
+        return out.drop("__sc")
     short = langid_short_col(text_col, max_input_length)
     from .textstats import script_lang_guess
 

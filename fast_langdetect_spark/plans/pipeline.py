@@ -119,11 +119,25 @@ def score_pipeline(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFram
     Input must have a `content` column; passes all other columns through.
     """
     cfg = cfg or PipelineConfig()
-    df = with_scores(
-        df, "content", cfg.model_path, cfg.lm_path,
-        doc_cap=cfg.doc_cap, script_gate=cfg.script_gate,
-    )
-    df = with_quality_metrics(df, "content")
+    if not cfg.script_gate:
+        # the fused Arrow UDF also returns token counts from the same byte
+        # buffer, so the metrics block skips its interpreted per-token
+        # split/filter lambdas (round 6; values identical — see
+        # with_quality_metrics)
+        df = with_scores(
+            df, "content", cfg.model_path, cfg.lm_path,
+            doc_cap=cfg.doc_cap, script_gate=False, keep_token_counts=True,
+        )
+        df = with_quality_metrics(
+            df, "content",
+            token_counts=(F.col("__n_tokens"), F.col("__n_alpha_tokens")),
+        ).drop("__n_tokens", "__n_alpha_tokens")
+    else:
+        df = with_scores(
+            df, "content", cfg.model_path, cfg.lm_path,
+            doc_cap=cfg.doc_cap, script_gate=True,
+        )
+        df = with_quality_metrics(df, "content")
     df = with_decision(df, cfg.quality, "content")
     return df
 
