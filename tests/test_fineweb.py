@@ -104,3 +104,45 @@ def test_fuzz_engines_agree(spark):
 def test_bounds_cover_all_metric_columns():
     sig = set(golden_fineweb_signals("a.\nb"))
     assert set(FINEWEB_BOUNDS) == sig - {"fineweb_quality_pass"}
+
+
+def test_line_metrics_kernel_edges(spark):
+    """Byte-level traps for the round-6 single-pass line-metrics kernel:
+    a code point whose LAST utf-8 byte equals the closing quote's (⁝ =
+    U+205D ends in 0x9D) must not count as punct; trailing blanks, bare
+    newlines, empty and null docs, supplementary-plane line lengths and
+    a \\r after punct must all match the golden forms."""
+    from fast_langdetect_spark.operators.fineweb import (
+        golden_fineweb_signals,
+        with_fineweb_signals,
+    )
+
+    rows = [
+        (1, "ends with vertical ellipsis ⁝"),
+        (2, "real close quote”"),
+        (3, "punct then tabs.\t\t"),
+        (4, "punct then spaces!   "),
+        (5, "trailing newline.\n"),
+        (6, ""),
+        (7, "\n\n\n"),
+        (8, "   \t  "),
+        (9, None),
+        (10, "”"),
+        (11, "a”b"),
+        (12, "x" * 29),
+        (13, "\U0001f600" * 30),
+        (14, "line.\r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_fineweb_signals(df).collect()}
+    for i, t in rows:
+        got = out[i]
+        if t is None:
+            assert got["punct_line_frac"] is None
+            assert got["short_line_frac"] is None
+            assert got["dup_line_char_frac"] == 0.0
+            assert got["fineweb_quality_pass"] is None
+            continue
+        want = golden_fineweb_signals(t)
+        for k in ("punct_line_frac", "short_line_frac", "dup_line_char_frac"):
+            assert abs(got[k] - want[k]) < 1e-12, (i, k, got[k], want[k])
