@@ -222,6 +222,12 @@ def decontaminate(
     codegen shape runs: gram-row generation (posexplode + projected hash,
     no interpreted lambda — see _gram_rows) → broadcast inner join →
     countDistinct groupBy on the HIT rows only → left join back."""
+    # NOTE: the fast path collects the benchmark's distinct key set to the
+    # driver (8 bytes/key; benchmarks are MBs by design — the same
+    # assumption the broadcast join made, and a counting pre-guard would
+    # cost an extra job per call).  For a pathological corpus-sized
+    # "benchmark", strip the source attribute (bench_grams.select(
+    # "gram_key")) to force the legacy broadcast-join shape.
     src = getattr(bench_grams, "_fld_bench_source", None)
     if src is not None and src[2] == n:
         from typing import Iterator
